@@ -1,0 +1,36 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+This is the multi-chip test strategy from SURVEY §4(e): fake an 8-device mesh
+with XLA's host-platform device-count flag so sharding/collective code is
+exercised without TPU hardware. Must run before jax initializes.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# Numerical-parity tests compare against torch/scipy oracles in float32;
+# force full-precision matmuls/convs under test (production keeps the fast
+# TPU defaults).
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+@pytest.fixture
+def rng():
+    import jax
+
+    return jax.random.key(0)
+
+
+@pytest.fixture
+def np_rng():
+    return np.random.default_rng(0)
