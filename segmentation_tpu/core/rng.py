@@ -22,7 +22,7 @@ class RngStream:
 
     def __init__(self, seed_or_key):
         if isinstance(seed_or_key, int):
-            self._key = jax.random.key(seed_or_key)
+            self._key = jax.random.PRNGKey(seed_or_key)
         else:
             self._key = seed_or_key
 

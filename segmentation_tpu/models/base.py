@@ -1,0 +1,499 @@
+"""Core model runtime — the BaseModel replacement.
+
+Public API parity with reference models/basemodel.py: ``train_step()``,
+``test()``, ``infer(imgs)``, ``snapshot()``, plus ``restore`` semantics
+(load_snapshot / load_snapshot_from / INFERENCE-mode forced restore,
+reference models/basemodel.py:53-55, 112-136) and summary writing.
+
+TPU-native design: the entire step — forward, losses, adversary, both
+optimizers, metric computation — is ONE jit-compiled function over a sharded
+train state (no per-step Python graph work, no summary recomputation; fixes
+the reference's summary-rerun wart at models/basemodel.py:465-473). Batches
+are placed batch-sharded over the mesh's 'data' axis; XLA inserts the
+gradient psums. Params/opt state are replicated (these models are far below
+HBM capacity — SURVEY §2.10 records the no-TP/PP decision).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from segmentation_tpu.core import mesh as mesh_lib
+from segmentation_tpu.core.config import ModelConfig, TrainConfig
+from segmentation_tpu.core.precision import policy_from_config
+from segmentation_tpu.nn import module as hk
+from segmentation_tpu.nn.shapes import center_crop_or_pad
+from segmentation_tpu.training import losses
+from segmentation_tpu.training.adversarial import (
+    LucAdversary,
+    prep_adversary_inputs,
+)
+from segmentation_tpu.utils import checkpoint as ckpt_lib
+from segmentation_tpu.utils.summary import SummaryWriter
+
+
+class TrainState(NamedTuple):
+    """The full training state — a single pytree, donated every step."""
+
+    step: jnp.ndarray
+    rng: jnp.ndarray
+    params: Dict[str, Any]
+    model_state: Dict[str, Any]
+    opt_state: Any
+    adv_params: Dict[str, Any]
+    adv_model_state: Dict[str, Any]
+    adv_opt_state: Any
+
+
+def _tree_sg(tree):
+    return jax.tree_util.tree_map(jax.lax.stop_gradient, tree)
+
+
+class Trainer:
+    """Shared machinery: state, jit compilation, checkpointing, summaries."""
+
+    model_name = "model"
+
+    def __init__(
+        self,
+        model,
+        dataset=None,
+        test_dataset=None,
+        model_cfg: Optional[ModelConfig] = None,
+        train_cfg: Optional[TrainConfig] = None,
+        mesh=None,
+    ):
+        self.model = model
+        self.dataset = dataset
+        self.test_dataset = test_dataset
+        self.mcfg = model_cfg or ModelConfig()
+        self.tcfg = train_cfg or TrainConfig()
+        self.mode = self.tcfg.mode
+        self.policy = policy_from_config(self.tcfg)
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.model_name = getattr(model, "model_name", self.model_name)
+
+        self.batch_size = (
+            dataset.batch_size if dataset is not None else None
+        )
+
+        self.summary = SummaryWriter(
+            self.tcfg.log_dir, self.tcfg.summary_iter
+        )
+        self.save_dir = self.tcfg.save_dir
+        self._timings = []
+
+        # INFERENCE mode forces restore (reference models/basemodel.py:53-55)
+        self.load_snapshot = bool(self.tcfg.load_snapshot) or (
+            self.mode == "INFERENCE"
+        )
+
+        self._build()
+        self._init_state()
+        self._init_saver()
+
+    # ---- to be provided by subclasses -------------------------------------
+    def _build(self):
+        raise NotImplementedError
+
+    def _init_state(self):
+        raise NotImplementedError
+
+    # ---- checkpointing (reference models/basemodel.py:112-136) ------------
+    def _init_saver(self):
+        os.makedirs(self.save_dir, exist_ok=True)
+        if not self.load_snapshot:
+            return
+        try:
+            if self.tcfg.load_snapshot_from:
+                restored, step = ckpt_lib.restore(
+                    self.tcfg.load_snapshot_from, self.state
+                )
+            else:
+                result = ckpt_lib.restore_latest(
+                    self.save_dir, self.model_name, self.state
+                )
+                if result is None:
+                    raise FileNotFoundError(
+                        f"no checkpoint in {self.save_dir}"
+                    )
+                restored, step = result
+            self.state = jax.device_put(restored, mesh_lib.replicated(self.mesh))
+            print(f"Restored snapshot; resuming from global step {step}")
+        except Exception as e:  # fall through to fresh training, as reference
+            print(f"Failed to load snapshot ({e}); proceed with training")
+
+    def snapshot(self) -> Optional[str]:
+        if self.mode == "INFERENCE":
+            print("snapshot() with INFERENCE mode invalid")
+            return None
+        step = int(jax.device_get(self.state.step))
+        path = ckpt_lib.save(
+            self.save_dir,
+            self.model_name,
+            step,
+            self.state,
+            max_to_keep=self.tcfg.max_to_keep,
+        )
+        print(f"Global step {step}, snapshotted to {path}")
+        return path
+
+    @property
+    def global_step(self) -> int:
+        return int(jax.device_get(self.state.step))
+
+    # ---- common helpers ---------------------------------------------------
+    def _place_batch(self, batch):
+        return mesh_lib.shard_batch(self.mesh, batch)
+
+    def _replicate(self, tree):
+        return jax.device_put(tree, mesh_lib.replicated(self.mesh))
+
+    def close(self):
+        self.summary.close()
+
+
+class SegmentationTrainer(Trainer):
+    """Trainer for the segmentation zoo (U-Net, FCN, Deconv) and for
+    autoencoder-mode models. Handles: xentropy or MSE objective
+    (reference models/basemodel.py:59-70), IN_OUT_CROP label alignment
+    (:412-417, models/unet.py:171-174), optional Luc adversarial mode
+    (:323-354), BN state, and the Kendall&Gal MC-dropout inference loop."""
+
+    def __init__(self, *args, adversary=None, **kwargs):
+        self._adversary_net = adversary
+        super().__init__(*args, **kwargs)
+
+    # ------------------------------------------------------------------ build
+    def _build(self):
+        mcfg, tcfg = self.mcfg, self.tcfg
+        model = self.model
+        self.autoencoder = bool(mcfg.autoencoder)
+        self.adversarial = bool(mcfg.adversarial_training)
+        self.in_out_crop = bool(getattr(model, "IN_OUT_CROP", False))
+
+        self._fwd = hk.transform(lambda x: model(x))
+        if self.adversarial and self._adversary_net is None:
+            self._adversary_net = LucAdversary()
+        if self.adversarial:
+            self._adv_fwd = hk.transform(lambda x: self._adversary_net(x))
+
+        self.optimizer = optax.adam(tcfg.learning_rate, b1=tcfg.adam_beta1)
+        if self.adversarial:
+            self.adv_optimizer = optax.adam(
+                tcfg.adversarial_lr, b1=tcfg.adam_beta1
+            )
+
+        # ---- the jitted step ---------------------------------------------
+        def align_target(y, logits):
+            """IN_OUT_CROP: center-crop labels to the logits' spatial size
+            (reference models/unet.py:171-174, basemodel.py:412-417)."""
+            if self.in_out_crop and (
+                y.shape[1] != logits.shape[1] or y.shape[2] != logits.shape[2]
+            ):
+                if y.ndim == 3:
+                    y = y[..., None]
+                y = center_crop_or_pad(y, logits.shape[1], logits.shape[2])
+            return y
+
+        def loss_fn(params, adv_params, model_state, adv_model_state, rng, batch, train):
+            x = batch["image"].astype(self.policy.compute_dtype)
+            k_model, k_adv = jax.random.split(rng)
+            logits, new_ms = self._fwd.apply(
+                params, model_state, k_model, x, train=train
+            )
+            metrics = {}
+            if self.autoencoder:
+                target = align_target(x, logits)
+                xent = losses.mse(logits, target)
+            else:
+                target = align_target(batch["mask"], logits)
+                xent = losses.segmentation_xentropy(
+                    logits, target, mcfg.n_classes
+                )
+            metrics["seg_xentropy"] = xent
+
+            new_adv_ms = adv_model_state
+            if self.adversarial:
+                if self.autoencoder:
+                    # Adversarial autoencoder: adversary scores real images
+                    # vs reconstructions (reference models/autoencoder.py:49
+                    # routes through BaseModel's adversary with y = x).
+                    real_in, fake_in = target, logits
+                else:
+                    real_in, fake_in = prep_adversary_inputs(
+                        logits, target, mcfg.n_classes
+                    )
+                # Branch 1: adversary params frozen; grads flow into the
+                # segmentation net through softmax(logits).
+                fake_for_seg, _ = self._adv_fwd.apply(
+                    _tree_sg(adv_params), adv_model_state, k_adv,
+                    fake_in, train=train,
+                )
+                # Branches 2+3: adversary trains on real vs sg(fake).
+                real_logits, adv_ms1 = self._adv_fwd.apply(
+                    adv_params, adv_model_state, k_adv, real_in, train=train
+                )
+                fake_for_adv, new_adv_ms = self._adv_fwd.apply(
+                    adv_params, adv_ms1, k_adv,
+                    jax.lax.stop_gradient(fake_in), train=train,
+                )
+                l_real, l_fake, l_fake_one = losses.luc_adversarial_losses(
+                    real_logits, fake_for_adv
+                )
+                _, _, l_fake_one_seg = losses.luc_adversarial_losses(
+                    real_logits, fake_for_seg
+                )
+                # seg loss: xent + λ·CE(adv(ŷ)→real)   (basemodel.py:334)
+                seg_loss = jnp.mean(
+                    xent + tcfg.adv_lambda * l_fake_one_seg
+                )
+                # adv loss: CE(real→1) + CE(fake→0)    (basemodel.py:337)
+                adv_loss = jnp.mean(l_real + l_fake)
+                total = seg_loss + adv_loss
+                metrics.update(
+                    seg_loss=seg_loss,
+                    adv_loss=adv_loss,
+                    l_bce_real=jnp.mean(l_real),
+                    l_bce_fake=jnp.mean(l_fake),
+                    l_bce_fake_one=jnp.mean(l_fake_one),
+                    # combined objective as logged by the reference (:347)
+                    loss=jnp.mean(
+                        xent
+                        - tcfg.adv_lambda * (l_real + l_fake)
+                    ),
+                )
+            else:
+                seg_loss = xent
+                total = seg_loss
+                metrics["seg_loss"] = seg_loss
+
+            extra = self._extra_loss(params, metrics)
+            total = total + extra
+            return total, (new_ms, new_adv_ms, metrics, logits)
+
+        def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+            rng, step_rng = jax.random.split(state.rng)
+            grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+            (_, (new_ms, new_adv_ms, metrics, _)), (g, g_adv) = grad_fn(
+                state.params,
+                state.adv_params,
+                state.model_state,
+                state.adv_model_state,
+                step_rng,
+                batch,
+                True,
+            )
+            updates, opt_state = self.optimizer.update(
+                g, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            if self.adversarial:
+                adv_updates, adv_opt_state = self.adv_optimizer.update(
+                    g_adv, state.adv_opt_state, state.adv_params
+                )
+                adv_params = optax.apply_updates(state.adv_params, adv_updates)
+            else:
+                adv_params, adv_opt_state = (
+                    state.adv_params,
+                    state.adv_opt_state,
+                )
+            new_state = TrainState(
+                step=state.step + 1,
+                rng=rng,
+                params=params,
+                model_state=new_ms,
+                opt_state=opt_state,
+                adv_params=adv_params,
+                adv_model_state=new_adv_ms,
+                adv_opt_state=adv_opt_state,
+            )
+            return new_state, metrics
+
+        self._train_step = jax.jit(train_step, donate_argnums=0)
+
+        def eval_step(state: TrainState, batch):
+            total, (_, _, metrics, logits) = loss_fn(
+                state.params,
+                state.adv_params,
+                state.model_state,
+                state.adv_model_state,
+                state.rng,
+                batch,
+                False,
+            )
+            out = {"test_loss": metrics["seg_xentropy"]}
+            if not self.autoencoder:
+                pred = jnp.argmax(logits, axis=-1)
+                target = batch["mask"]
+                target = align_target(target, logits)
+                if target.ndim == 4:
+                    target = target[..., 0]
+                out["miou"] = losses.miou(pred, target, mcfg.n_classes)
+                out["pixel_acc"] = losses.pixel_accuracy(pred, target)
+            return out, logits
+
+        self._eval_step = jax.jit(eval_step)
+
+        def infer_fn(params, model_state, rng, x):
+            """inference_ops = [sigmoid(ŷ), argmax map] (reference
+            models/unet.py:75-79)."""
+            logits, _ = self._fwd.apply(
+                params, model_state, rng, x.astype(self.policy.compute_dtype),
+                train=False,
+            )
+            y_hat_sig = jax.nn.sigmoid(logits.astype(jnp.float32))
+            output = jnp.argmax(y_hat_sig, axis=3)[..., None].astype(
+                jnp.float32
+            )
+            return y_hat_sig, output
+
+        self._infer = jax.jit(infer_fn)
+
+        def infer_mc_fn(params, model_state, rng, x, n_samples: int):
+            """Kendall & Gal MC-dropout: n stochastic forward passes →
+            per-pixel mean and variance (the reference left the loop to the
+            caller, examples/inference.py; here it is one compiled program)."""
+            keys = jax.random.split(rng, n_samples)
+
+            def one(k):
+                logits, _ = self._fwd.apply(
+                    params, model_state, k,
+                    x.astype(self.policy.compute_dtype), train=False,
+                )
+                return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+            samples = jax.lax.map(one, keys)  # [S, N, H, W, C]
+            mean = jnp.mean(samples, axis=0)
+            var = jnp.var(samples, axis=0)
+            output = jnp.argmax(mean, axis=3)[..., None].astype(jnp.float32)
+            return mean, var, output
+
+        self._infer_mc = jax.jit(infer_mc_fn, static_argnums=4)
+
+    def _extra_loss(self, params, metrics):
+        """Hook for subclasses (e.g. VAE KLD)."""
+        return 0.0
+
+    # ------------------------------------------------------------------ state
+    def _init_state(self):
+        mcfg = self.mcfg
+        rng = jax.random.PRNGKey(self.tcfg.seed)
+        init_rng, adv_rng, state_rng = jax.random.split(rng, 3)
+        h, w = mcfg.hw
+        bs = self.batch_size or 1
+        x0 = jnp.zeros(
+            (bs, h, w, mcfg.input_channel), self.policy.compute_dtype
+        )
+        params, model_state = self._fwd.init(init_rng, x0, train=True)
+        opt_state = self.optimizer.init(params)
+
+        if self.adversarial:
+            logits, _ = self._fwd.apply(
+                params, model_state, adv_rng, x0, train=False
+            )
+            if self.autoencoder:
+                # AAE adversary sees reconstructions [N, H, W, C_in]
+                adv_in = jnp.zeros(logits.shape, self.policy.compute_dtype)
+            else:
+                # Luc adversary sees [N, out_h, out_w, C] one-hot/softmax maps
+                adv_in = jnp.zeros(
+                    logits.shape[:3] + (mcfg.n_classes,),
+                    self.policy.compute_dtype,
+                )
+            adv_params, adv_ms = self._adv_fwd.init(
+                adv_rng, adv_in, train=True
+            )
+            adv_opt_state = self.adv_optimizer.init(adv_params)
+        else:
+            adv_params, adv_ms, adv_opt_state = {}, {}, ()
+
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            rng=state_rng,
+            params=params,
+            model_state=model_state,
+            opt_state=opt_state,
+            adv_params=adv_params,
+            adv_model_state=adv_ms,
+            adv_opt_state=adv_opt_state,
+        )
+        self.state = self._replicate(state)
+        n_params = sum(
+            int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params)
+        )
+        print(f"{self.model_name}: {n_params:,} parameters")
+
+    # ------------------------------------------------------------------ steps
+    def train_step(self) -> Dict[str, float]:
+        t0 = time.perf_counter()
+        batch = self._next_batch(self.dataset)
+        self.state, metrics = self._train_step(self.state, batch)
+        step = self.global_step  # device sync point
+        metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+        dt = time.perf_counter() - t0
+        self._timings.append(dt)
+        self.summary.scalars(step, {**metrics, "step_time_s": dt})
+        return metrics
+
+    def test(self) -> Dict[str, float]:
+        if self.mode == "INFERENCE":
+            print("test() with INFERENCE mode invalid")
+            return {}
+        ds = self.test_dataset or self.dataset
+        batch = self._next_batch(ds)
+        out, logits = self._eval_step(self.state, batch)
+        step = self.global_step
+        out = {k: float(jax.device_get(v)) for k, v in out.items()}
+        print(f"TEST step {step}: {out}")
+        self.summary.scalars(step, out, force=True)
+        # Image panels (reference models/basemodel.py:424-426)
+        probs = jax.device_get(jax.nn.sigmoid(logits.astype(jnp.float32)))
+        self.summary.images(step, "test_x", jax.device_get(batch["image"]))
+        self.summary.images(
+            step, "test_out", np.argmax(probs, -1)[..., None] / max(
+                1, self.mcfg.n_classes - 1
+            ),
+        )
+        return out
+
+    def infer(self, imgs: np.ndarray):
+        """4-D numpy array in → [y_hat_sig, output] numpy out (reference
+        models/basemodel.py:527-531)."""
+        x = jnp.asarray(imgs)
+        rng = jax.random.PRNGKey(0)
+        y_hat_sig, output = self._infer(
+            self.state.params, self.state.model_state, rng, x
+        )
+        return [np.asarray(y_hat_sig), np.asarray(output)]
+
+    def infer_bayesian(self, imgs: np.ndarray, n_samples: int = 16, seed: int = 0):
+        """MC-dropout uncertainty: returns (mean, variance, argmax-map)."""
+        x = jnp.asarray(imgs)
+        mean, var, output = self._infer_mc(
+            self.state.params,
+            self.state.model_state,
+            jax.random.PRNGKey(seed),
+            x,
+            n_samples,
+        )
+        return np.asarray(mean), np.asarray(var), np.asarray(output)
+
+    def _next_batch(self, ds):
+        batch = ds.get_batch()
+        if isinstance(batch, tuple):
+            batch = (
+                {"image": batch[0], "mask": batch[1]}
+                if len(batch) > 1 and batch[1] is not None
+                else {"image": batch[0]}
+            )
+        elif not isinstance(batch, dict):
+            batch = {"image": batch}
+        return self._place_batch(batch)

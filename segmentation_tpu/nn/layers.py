@@ -17,9 +17,9 @@ for parameter access. Semantics track the reference's layer stack:
   conv_cond_concat           ← reference utils/ops.py:51-56 / models/gan.py:394
 
 TPU notes: convs run through lax.conv_general_dilated in NHWC/HWIO with
-float32 MXU accumulation (preferred_element_type) while activations flow in
-the policy compute dtype (bfloat16 by default). XLA fuses the bias/activation
-chains; no hand scheduling.
+activations in the policy compute dtype (bfloat16 by default; the MXU
+accumulates bf16 products in float32 in hardware). XLA fuses the
+bias/activation chains; no hand scheduling.
 """
 
 from __future__ import annotations
@@ -67,7 +67,6 @@ def conv2d(
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
     )
     if use_bias:
         b = hk.param(f"{name}/b", (features,), b_init)
@@ -107,7 +106,6 @@ def conv2d_transpose(
         padding=padding,
         dimension_numbers=_DN,
         transpose_kernel=True,
-        preferred_element_type=jnp.float32,
     )
     if use_bias:
         b = hk.param(f"{name}/b", (features,), b_init)
@@ -133,7 +131,6 @@ def fixed_conv2d_transpose(
         padding=padding,
         dimension_numbers=_DN,
         transpose_kernel=True,
-        preferred_element_type=jnp.float32,
     )
     return y.astype(x.dtype)
 
@@ -150,7 +147,7 @@ def dense(
 ) -> jnp.ndarray:
     """slim.fully_connected semantics (ReLU default activation)."""
     w = hk.param(f"{name}/w", (x.shape[-1], features), w_init)
-    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    y = jnp.dot(x, w.astype(x.dtype))
     if use_bias:
         b = hk.param(f"{name}/b", (features,), b_init)
         y = y + b.astype(y.dtype)

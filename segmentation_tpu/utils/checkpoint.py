@@ -1,0 +1,129 @@
+"""Checkpoint / resume.
+
+Contract preserved from the reference (reference models/basemodel.py:112-136,
+494-501 and SURVEY §5): a directory of named checkpoints
+``{save_dir}/{model_name}.ckpt-{global_step}``, keep-N rotation (N=1 default),
+restore-newest via directory scan or an explicit ``load_snapshot_from`` path,
+resume restores the persisted step counter, restore failure falls through to
+fresh training with a warning.
+
+Improvements over the reference: writes are atomic (tmp file + rename), and
+sharded/committed device arrays are gathered safely via
+``jax.device_get``. Storage format is a single ``.npz`` holding the flattened
+param/state/opt-state pytrees plus a JSON manifest of the tree structure —
+no framework-version lock-in.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import tempfile
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+_CKPT_RE = re.compile(r"^(?P<name>.+)\.ckpt-(?P<step>\d+)\.npz$")
+
+
+def _flatten(tree) -> Tuple[Dict[str, np.ndarray], Any]:
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    flat = {f"leaf_{i}": np.asarray(jax.device_get(x)) for i, x in enumerate(leaves)}
+    return flat, treedef
+
+
+def save(
+    save_dir: str,
+    name: str,
+    step: int,
+    tree: Any,
+    max_to_keep: int = 1,
+) -> str:
+    """Atomically write ``{save_dir}/{name}.ckpt-{step}.npz`` and rotate."""
+    os.makedirs(save_dir, exist_ok=True)
+    flat, treedef = _flatten(tree)
+    # Manifest stores the keypath structure for robust restore.
+    paths = [
+        jax.tree_util.keystr(kp)
+        for kp, _ in jax.tree_util.tree_flatten_with_path(tree)[0]
+    ]
+    manifest = json.dumps({"step": int(step), "paths": paths})
+
+    final = os.path.join(save_dir, f"{name}.ckpt-{int(step)}.npz")
+    fd, tmp = tempfile.mkstemp(dir=save_dir, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, __manifest__=manifest, **flat)
+        os.replace(tmp, final)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+    _rotate(save_dir, name, max_to_keep)
+    return final
+
+
+def _rotate(save_dir: str, name: str, max_to_keep: int):
+    ckpts = list_checkpoints(save_dir, name)
+    for path, _ in ckpts[:-max_to_keep] if max_to_keep > 0 else []:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+
+def list_checkpoints(save_dir: str, name: Optional[str] = None) -> List[Tuple[str, int]]:
+    """All checkpoints in ``save_dir`` sorted by step ascending."""
+    if not os.path.isdir(save_dir):
+        return []
+    out = []
+    for fn in os.listdir(save_dir):
+        m = _CKPT_RE.match(fn)
+        if m and (name is None or m.group("name") == name):
+            out.append((os.path.join(save_dir, fn), int(m.group("step"))))
+    out.sort(key=lambda t: t[1])
+    return out
+
+
+def latest_checkpoint(save_dir: str, name: Optional[str] = None) -> Optional[str]:
+    ckpts = list_checkpoints(save_dir, name)
+    return ckpts[-1][0] if ckpts else None
+
+
+def restore(path: str, tree_like: Any) -> Tuple[Any, int]:
+    """Restore a pytree with the structure of ``tree_like`` from ``path``.
+    Returns (tree, step). Raises on structural mismatch (caller decides
+    whether to fall through to fresh training, per the reference contract)."""
+    with np.load(path, allow_pickle=False) as data:
+        manifest = json.loads(str(data["__manifest__"]))
+        leaves, treedef = jax.tree_util.tree_flatten(tree_like)
+        n = len(leaves)
+        stored = [data[f"leaf_{i}"] for i in range(n)]
+        if f"leaf_{n}" in data.files:
+            raise ValueError(
+                f"checkpoint {path} has more leaves than the target tree"
+            )
+        new_leaves = []
+        for i, (old, new) in enumerate(zip(leaves, stored)):
+            if tuple(np.shape(old)) != tuple(new.shape):
+                raise ValueError(
+                    f"checkpoint {path} leaf {i} ({manifest['paths'][i] if i < len(manifest['paths']) else '?'}): "
+                    f"shape {new.shape} != expected {np.shape(old)}"
+                )
+            new_leaves.append(
+                np.asarray(new, dtype=old.dtype) if hasattr(old, "dtype") else new
+            )
+        return jax.tree_util.tree_unflatten(treedef, new_leaves), int(
+            manifest["step"]
+        )
+
+
+def restore_latest(
+    save_dir: str, name: str, tree_like: Any
+) -> Optional[Tuple[Any, int]]:
+    path = latest_checkpoint(save_dir, name)
+    if path is None:
+        return None
+    return restore(path, tree_like)

@@ -1,0 +1,133 @@
+"""End-to-end slice test (SURVEY §7): synthetic data → U-Net → jit train_step
+→ loss decreases → snapshot/restore → infer. The §4(d) integration tier."""
+
+import os
+
+import numpy as np
+import pytest
+
+from segmentation_tpu.core.config import ModelConfig, TrainConfig
+from segmentation_tpu.data.synthetic import SyntheticSegmentation
+from segmentation_tpu.models.base import SegmentationTrainer
+from segmentation_tpu.models.unet import UNet
+
+
+def small_unet_trainer(tmp_path, adversarial=False, bayesian=False, seed=0):
+    hw = (60, 60)
+    mcfg = ModelConfig(
+        name="unet",
+        n_classes=2,
+        input_dims=hw,
+        n_kernels=4,
+        adversarial_training=adversarial,
+        bayesian=bayesian,
+    )
+    tcfg = TrainConfig(
+        save_dir=str(tmp_path / "snap"),
+        log_dir=str(tmp_path / "logs"),
+        learning_rate=1e-3,
+        seed=seed,
+    )
+    ds = SyntheticSegmentation(batch_size=8, hw=hw, n_classes=2, seed=1)
+    model = UNet(mcfg, levels=2)
+    from segmentation_tpu.training.adversarial import SmallAdversary
+
+    return SegmentationTrainer(
+        model,
+        dataset=ds,
+        test_dataset=ds,
+        model_cfg=mcfg,
+        train_cfg=tcfg,
+        adversary=SmallAdversary() if adversarial else None,
+    )
+
+
+def test_unet_loss_decreases(tmp_path):
+    tr = small_unet_trainer(tmp_path)
+    first = tr.train_step()["seg_xentropy"]
+    for _ in range(30):
+        m = tr.train_step()
+    assert m["seg_xentropy"] < first
+    assert tr.global_step == 31
+
+
+def test_unet_test_metrics(tmp_path):
+    tr = small_unet_trainer(tmp_path)
+    for _ in range(10):
+        tr.train_step()
+    out = tr.test()
+    assert 0.0 <= out["miou"] <= 1.0
+    assert 0.0 <= out["pixel_acc"] <= 1.0
+    assert "test_loss" in out
+
+
+def test_snapshot_restore_resumes_step(tmp_path):
+    tr = small_unet_trainer(tmp_path)
+    for _ in range(3):
+        tr.train_step()
+    path = tr.snapshot()
+    assert path and os.path.exists(path)
+    p0 = np.asarray(tr.state.params["output/w"])
+
+    # new trainer, load_snapshot=True → resumes at step 3 with same params
+    tr2 = small_unet_trainer(tmp_path)
+    tcfg = tr2.tcfg
+    object.__setattr__(tcfg, "load_snapshot", True)
+    tr2.load_snapshot = True
+    tr2._init_saver()
+    assert tr2.global_step == 3
+    np.testing.assert_allclose(
+        np.asarray(tr2.state.params["output/w"]), p0
+    )
+
+
+def test_keep_one_rotation(tmp_path):
+    tr = small_unet_trainer(tmp_path)
+    tr.train_step()
+    tr.snapshot()
+    tr.train_step()
+    tr.snapshot()
+    from segmentation_tpu.utils import checkpoint as ckpt
+
+    ckpts = ckpt.list_checkpoints(str(tmp_path / "snap"))
+    assert len(ckpts) == 1  # max_to_keep=1 (reference basemodel.py:113)
+    assert ckpts[0][1] == 2
+
+
+def test_infer_output_contract(tmp_path):
+    tr = small_unet_trainer(tmp_path)
+    imgs = np.random.default_rng(0).random((2, 60, 60, 3), dtype=np.float32)
+    y_hat_sig, output = tr.infer(imgs)
+    oh, ow = tr.model.output_hw((60, 60))
+    assert y_hat_sig.shape == (2, oh, ow, 2)
+    assert output.shape == (2, oh, ow, 1)
+    assert set(np.unique(output)).issubset({0.0, 1.0})
+    assert (y_hat_sig >= 0).all() and (y_hat_sig <= 1).all()
+
+
+def test_adversarial_training_runs(tmp_path):
+    tr = small_unet_trainer(tmp_path, adversarial=True)
+    m = tr.train_step()
+    assert {"seg_loss", "adv_loss", "l_bce_real", "l_bce_fake"} <= set(m)
+    for _ in range(5):
+        m = tr.train_step()
+    assert np.isfinite(m["seg_loss"]) and np.isfinite(m["adv_loss"])
+
+
+def test_bayesian_mc_inference(tmp_path):
+    tr = small_unet_trainer(tmp_path, bayesian=True)
+    imgs = np.random.default_rng(0).random((2, 60, 60, 3), dtype=np.float32)
+    mean, var, output = tr.infer_bayesian(imgs, n_samples=4)
+    oh, ow = tr.model.output_hw((60, 60))
+    assert mean.shape == (2, oh, ow, 2)
+    assert var.shape == mean.shape
+    # dropout live at inference → nonzero predictive variance
+    assert float(var.mean()) > 0
+
+
+def test_determinism_same_seed(tmp_path):
+    t1 = small_unet_trainer(tmp_path / "a", seed=7)
+    t2 = small_unet_trainer(tmp_path / "b", seed=7)
+    m1 = t1.train_step()
+    m2 = t2.train_step()
+    assert m1["seg_xentropy"] == pytest.approx(m2["seg_xentropy"], abs=1e-6)
