@@ -1,0 +1,259 @@
+"""Typed CLI — replaces the reference's hand-edited driver constants
+(reference examples/example_fcn.py:33-50 had no argparse anywhere; SURVEY §5
+'config system': the constructor kwargs ARE the public config surface, here
+exposed as flags with identical names).
+
+Usage:
+  python -m segmentation_tpu train --model unet --image-dir data/features \
+      --mask-dir data/labels --crop-size 512 --batch-size 16 \
+      --epochs 10 --iters 1000 --save-dir ./snapshot --log-dir ./logs
+  python -m segmentation_tpu infer --model unet --image-dir imgs/ \
+      --save-dir ./snapshot --out-dir ./pred
+  python -m segmentation_tpu bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+from typing import Optional
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--model", default="unet",
+                   choices=["unet", "fcn", "deconvolution", "autoencoder",
+                            "gan", "infogan", "template"])
+    p.add_argument("--n-classes", type=int, default=2)
+    p.add_argument("--input-channel", type=int, default=3)
+    p.add_argument("--n-kernels", type=int, default=32)
+    p.add_argument("--crop-size", type=int, default=256)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--learning-rate", type=float, default=1e-4)
+    p.add_argument("--fcn-type", default="8s", choices=["32s", "16s", "8s"])
+    p.add_argument("--encoder-type", default="stacked",
+                   choices=["stacked", "multiscale", "small"])
+    p.add_argument("--zed-dim", type=int, default=64)
+    p.add_argument("--label-dim", type=int, default=None)
+    p.add_argument("--variational", action="store_true")
+    p.add_argument("--bayesian", action="store_true")
+    p.add_argument("--autoencoder", action="store_true")
+    p.add_argument("--adversarial-training", action="store_true")
+    p.add_argument("--save-dir", default="./snapshot")
+    p.add_argument("--log-dir", default=None)
+    p.add_argument("--load-snapshot", action="store_true")
+    p.add_argument("--load-snapshot-from", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    # data
+    p.add_argument("--image-dir", default=None)
+    p.add_argument("--mask-dir", default=None)
+    p.add_argument("--image-ext", default="jpg")
+    p.add_argument("--mask-ext", default="png")
+    p.add_argument("--capacity", type=int, default=5000)
+    p.add_argument("--min-holding", type=int, default=1250)
+    p.add_argument("--threads", type=int, default=4)
+    p.add_argument("--data-seed", type=int, default=5555)
+    p.add_argument("--augment-flip", action="store_true")
+    p.add_argument("--mnist-dir", default=None,
+                   help="use MNISTDataSet from this dir instead of folders")
+
+
+def _configs(args):
+    from segmentation_tpu.core.config import ModelConfig, TrainConfig
+
+    autoencoder = args.autoencoder or args.model in ("autoencoder", "gan",
+                                                     "infogan")
+    mcfg = ModelConfig(
+        name=args.model,
+        n_classes=args.n_classes,
+        input_dims=(args.crop_size, args.crop_size),
+        input_channel=args.input_channel,
+        n_kernels=args.n_kernels,
+        fcn_type=args.fcn_type,
+        zed_dim=args.zed_dim,
+        encoder_type=args.encoder_type,
+        variational=args.variational,
+        label_dim=args.label_dim,
+        bayesian=args.bayesian,
+        autoencoder=autoencoder,
+        adversarial_training=args.adversarial_training,
+    )
+    tcfg = TrainConfig(
+        mode=getattr(args, "mode", "TRAINING"),
+        log_dir=args.log_dir,
+        save_dir=args.save_dir,
+        learning_rate=args.learning_rate,
+        load_snapshot=args.load_snapshot,
+        load_snapshot_from=args.load_snapshot_from,
+        seed=args.seed,
+    )
+    return mcfg, tcfg
+
+
+def _dataset(args, mcfg):
+    from segmentation_tpu.data import (
+        ImageDataSet,
+        ImageMaskDataSet,
+        MNISTDataSet,
+        SyntheticImages,
+        SyntheticSegmentation,
+    )
+
+    if args.mnist_dir is not None:
+        return MNISTDataSet(args.mnist_dir, args.batch_size)
+    needs_masks = args.model in ("unet", "fcn", "deconvolution", "template")
+    if args.image_dir is None:
+        hw = (args.crop_size, args.crop_size)
+        if needs_masks:
+            return SyntheticSegmentation(args.batch_size, hw,
+                                         args.input_channel, args.n_classes)
+        return SyntheticImages(args.batch_size, hw, args.input_channel)
+    common = dict(
+        batch_size=args.batch_size,
+        crop_size=args.crop_size,
+        capacity=args.capacity,
+        min_holding=args.min_holding,
+        threads=args.threads,
+        seed=args.data_seed,
+        augment_flip=args.augment_flip,
+        image_ext=args.image_ext,
+    )
+    if needs_masks:
+        if args.mask_dir is None:
+            raise SystemExit("--mask-dir required for segmentation models")
+        return ImageMaskDataSet(
+            args.image_dir, args.mask_dir, n_classes=args.n_classes,
+            mask_ext=args.mask_ext, **common,
+        )
+    return ImageDataSet(args.image_dir, n_classes=args.n_classes, **common)
+
+
+def build_trainer(args, dataset=None, test_dataset=None):
+    """Model-name → (model, trainer) factory shared by train/infer."""
+    from segmentation_tpu.models import (
+        Autoencoder,
+        AutoencoderTrainer,
+        DeconvModel,
+        FCN,
+        GANTrainer,
+        InfoGANTrainer,
+        SegmentationTrainer,
+        Template,
+        UNet,
+    )
+
+    mcfg, tcfg = _configs(args)
+    dataset = dataset if dataset is not None else _dataset(args, mcfg)
+    kwargs = dict(dataset=dataset, test_dataset=test_dataset,
+                  model_cfg=mcfg, train_cfg=tcfg)
+    name = args.model
+    if name == "unet":
+        return SegmentationTrainer(UNet(mcfg), **kwargs)
+    if name == "fcn":
+        return SegmentationTrainer(FCN(mcfg), **kwargs)
+    if name == "deconvolution":
+        return SegmentationTrainer(DeconvModel(mcfg), **kwargs)
+    if name == "template":
+        return SegmentationTrainer(Template(mcfg), **kwargs)
+    if name == "autoencoder":
+        return AutoencoderTrainer(Autoencoder(mcfg), **kwargs)
+    if name == "gan":
+        return GANTrainer(None, **kwargs)
+    if name == "infogan":
+        return InfoGANTrainer(None, **kwargs)
+    raise SystemExit(f"unknown model {name}")
+
+
+def cmd_train(args):
+    trainer = build_trainer(args)
+    print(f"Training {args.model} for {args.epochs} x {args.iters} steps")
+    t_start = time.time()
+    for epoch in range(args.epochs):
+        t_epoch = time.time()
+        for it in range(args.iters):
+            metrics = trainer.train_step()
+            if it % args.test_every == 0:
+                trainer.test()
+        trainer.snapshot()
+        print(
+            f"epoch {epoch}: {time.time() - t_epoch:.1f}s last={metrics}"
+        )
+    print(f"total {time.time() - t_start:.1f}s")
+    trainer.close()
+
+
+def cmd_infer(args):
+    import numpy as np
+
+    from segmentation_tpu.data import load_images
+
+    args.mode = "INFERENCE"
+    trainer = build_trainer(args)
+    paths = sorted(
+        os.path.join(args.image_dir, f)
+        for f in os.listdir(args.image_dir)
+        if f.endswith(args.image_ext)
+    )
+    imgs = load_images(paths, args.batch_size, args.crop_size, seed=args.seed)
+    if args.bayesian:
+        mean, var, output = trainer.infer_bayesian(imgs, args.mc_samples)
+        outputs = {"mean": mean, "var": var, "mask": output}
+    else:
+        y_hat_sig, output = trainer.infer(imgs)
+        outputs = {"prob": y_hat_sig, "mask": output}
+    os.makedirs(args.out_dir, exist_ok=True)
+    try:
+        import cv2
+
+        for i in range(len(imgs)):
+            cv2.imwrite(
+                os.path.join(args.out_dir, f"{i:04d}_mask.png"),
+                (outputs["mask"][i, :, :, 0] * 255).astype(np.uint8),
+            )
+            if "var" in outputs:
+                v = outputs["var"][i].mean(-1)
+                v = (255 * v / max(v.max(), 1e-8)).astype(np.uint8)
+                cv2.imwrite(
+                    os.path.join(args.out_dir, f"{i:04d}_uncertainty.png"), v
+                )
+    except ImportError:
+        np.savez(os.path.join(args.out_dir, "outputs.npz"), **outputs)
+    print(f"wrote {len(imgs)} outputs to {args.out_dir}")
+
+
+def cmd_bench(args):
+    import runpy
+
+    runpy.run_path(
+        os.path.join(os.path.dirname(__file__), "..", "..", "bench.py"),
+        run_name="__main__",
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("segmentation_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_train = sub.add_parser("train", help="train a model")
+    _add_common(p_train)
+    p_train.add_argument("--epochs", type=int, default=10)
+    p_train.add_argument("--iters", type=int, default=1000)
+    p_train.add_argument("--test-every", type=int, default=100)
+    p_train.set_defaults(fn=cmd_train)
+
+    p_infer = sub.add_parser("infer", help="run inference on a folder")
+    _add_common(p_infer)
+    p_infer.add_argument("--out-dir", default="./pred")
+    p_infer.add_argument("--mc-samples", type=int, default=16)
+    p_infer.set_defaults(fn=cmd_infer)
+
+    p_bench = sub.add_parser("bench", help="run the headline benchmark")
+    p_bench.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -77,8 +77,12 @@ def single_device_mesh() -> Mesh:
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """NHWC batch tensor: shard N over 'data', H/W over spatial axes."""
-    return NamedSharding(mesh, P("data", "sph", "spw", None))
+    """NHWC training batch: shard N over 'data' only. Spatial axes are
+    reserved for the explicit shard_map giant-tile path
+    (segmentation_tpu.parallel.spatial) — training-time spatial sharding
+    would break bottleneck flattens (autoencoder) for no benefit at these
+    model sizes (SURVEY §2.10 decision record)."""
+    return NamedSharding(mesh, P("data", None, None, None))
 
 
 def vector_batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -97,13 +101,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Place a host pytree of batch arrays onto the mesh, batch-sharded."""
+    """Place a host pytree of batch arrays onto the mesh, batch-sharded.
+    Batches not divisible by the 'data' axis are replicated instead (small
+    debug batches; production batch sizes are multiples of the mesh)."""
     sh = batch_sharding(mesh)
     vec = vector_batch_sharding(mesh)
+    data_size = mesh.shape.get("data", 1)
 
     def _put(x):
         x = np.asarray(x)
-        s = sh if x.ndim == 4 else vec if x.ndim >= 1 else replicated(mesh)
+        if x.ndim >= 1 and x.shape[0] % max(1, data_size) == 0:
+            s = sh if x.ndim == 4 else vec
+        else:
+            s = replicated(mesh)
         return jax.device_put(x, s)
 
     return jax.tree_util.tree_map(_put, tree)

@@ -1,0 +1,137 @@
+"""Device prefetch + generator-fed pipelines.
+
+Two components:
+
+1. ``DevicePrefetcher`` — double-buffered host→HBM prefetch: keeps
+   ``depth`` batches in flight on device so the TPU never waits on host
+   transfer. This replaces the overlap the reference got from TF's C++
+   queue runners executing concurrently with sess.run (SURVEY §2.10).
+
+2. ``GeneratorDataSet`` — the rebuild of the custom threaded FIFO feeder
+   (reference utils/threaded_dataset.py:61-166): wraps an arbitrary Python
+   generator in daemon threads pushing into a bounded queue with
+   backpressure, with a clean stop protocol (the Coordinator dance at
+   reference utils/threaded_dataset.py:137-147 becomes a threading.Event).
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from segmentation_tpu.core import mesh as mesh_lib
+
+
+class DevicePrefetcher:
+    """Wraps a host batch iterator; keeps ``depth`` batches resident on
+    device (batch-sharded over the mesh). jax.device_put is async — the
+    transfer overlaps with the running step; consuming code just sees
+    device arrays that are already (or nearly) there."""
+
+    def __init__(self, source: Iterator, mesh=None, depth: int = 2):
+        self.source = iter(source)
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.depth = max(1, depth)
+        self._fifo: collections.deque = collections.deque()
+
+    def _enqueue_one(self):
+        batch = next(self.source)
+        self._fifo.append(mesh_lib.shard_batch(self.mesh, batch))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        while len(self._fifo) < self.depth:
+            self._enqueue_one()
+        out = self._fifo.popleft()
+        try:
+            self._enqueue_one()
+        except StopIteration:
+            pass
+        return out
+
+    def get_batch(self):
+        return next(self)
+
+
+class GeneratorDataSet:
+    """Threaded feeder over a user generator function
+    (reference utils/threaded_dataset.py 'Generator'). ``gen_fn(worker_id)``
+    must return an iterator of batch dicts; ``threads`` workers run it
+    concurrently; ``capacity`` bounds the buffer (the FIFOQueue size-poll
+    backpressure at reference utils/threaded_dataset.py:137-142)."""
+
+    has_masks = False
+    use_feed = False
+
+    def __init__(
+        self,
+        gen_fn: Callable[[int], Iterator[Dict[str, np.ndarray]]],
+        batch_size: int,
+        capacity: int = 8,
+        threads: int = 1,
+        has_masks: bool = False,
+    ):
+        self.gen_fn = gen_fn
+        self.batch_size = batch_size
+        self.has_masks = has_masks
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(2, capacity))
+        self._stop = threading.Event()
+        self._threads = [
+            threading.Thread(
+                target=self._main, args=(i,), daemon=True,
+                name=f"seg-gen-{i}",
+            )
+            for i in range(max(1, threads))
+        ]
+        self._started = False
+
+    def _main(self, worker_id: int):
+        it = self.gen_fn(worker_id)
+        while not self._stop.is_set():
+            try:
+                item = next(it)
+            except StopIteration:
+                it = self.gen_fn(worker_id)  # loop forever, like the queues
+                continue
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+
+    def start_threads(self):
+        if not self._started:
+            self._started = True
+            for t in self._threads:
+                t.start()
+
+    def request_stop(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+
+    def set_tf_sess(self, sess):
+        return
+
+    def dequeue(self):
+        if not self._started:
+            self.start_threads()
+        return self._q.get()
+
+    def get_batch(self):
+        return self.dequeue()
+
+    def __iter__(self):
+        while True:
+            yield self.get_batch()

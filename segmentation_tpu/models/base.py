@@ -50,6 +50,7 @@ class TrainState(NamedTuple):
     adv_params: Dict[str, Any]
     adv_model_state: Dict[str, Any]
     adv_opt_state: Any
+    extra_opt_state: Any = ()
 
 
 def _tree_sg(tree):
@@ -177,6 +178,8 @@ class SegmentationTrainer(Trainer):
         model = self.model
         self.autoencoder = bool(mcfg.autoencoder)
         self.adversarial = bool(mcfg.adversarial_training)
+        self.variational = bool(mcfg.variational) and self.autoencoder
+        self.xent_alpha = 1.5  # reference models/autoencoder.py:89
         self.in_out_crop = bool(getattr(model, "IN_OUT_CROP", False))
 
         self._fwd = hk.transform(lambda x: model(x))
@@ -190,6 +193,9 @@ class SegmentationTrainer(Trainer):
             self.adv_optimizer = optax.adam(
                 tcfg.adversarial_lr, b1=tcfg.adam_beta1
             )
+        if self.variational and self.adversarial:
+            # Split-out KLD optimizer (reference models/autoencoder.py:143-146)
+            self.kld_optimizer = optax.adam(1e-5)
 
         # ---- the jitted step ---------------------------------------------
         def align_target(y, logits):
@@ -206,9 +212,10 @@ class SegmentationTrainer(Trainer):
         def loss_fn(params, adv_params, model_state, adv_model_state, rng, batch, train):
             x = batch["image"].astype(self.policy.compute_dtype)
             k_model, k_adv = jax.random.split(rng)
-            logits, new_ms = self._fwd.apply(
+            out, new_ms = self._fwd.apply(
                 params, model_state, k_model, x, train=train
             )
+            logits, aux = out if isinstance(out, tuple) else (out, {})
             metrics = {}
             if self.autoencoder:
                 target = align_target(x, logits)
@@ -251,9 +258,11 @@ class SegmentationTrainer(Trainer):
                 _, _, l_fake_one_seg = losses.luc_adversarial_losses(
                     real_logits, fake_for_seg
                 )
-                # seg loss: xent + λ·CE(adv(ŷ)→real)   (basemodel.py:334)
+                # seg loss: xent + λ·CE(adv(ŷ)→real)   (basemodel.py:334);
+                # variational mode scales xent by α (autoencoder.py:138-141)
+                alpha = self.xent_alpha if self.variational else 1.0
                 seg_loss = jnp.mean(
-                    xent + tcfg.adv_lambda * l_fake_one_seg
+                    alpha * xent + tcfg.adv_lambda * l_fake_one_seg
                 )
                 # adv loss: CE(real→1) + CE(fake→0)    (basemodel.py:337)
                 adv_loss = jnp.mean(l_real + l_fake)
@@ -275,8 +284,16 @@ class SegmentationTrainer(Trainer):
                 total = seg_loss
                 metrics["seg_loss"] = seg_loss
 
-            extra = self._extra_loss(params, metrics)
-            total = total + extra
+            if self.variational:
+                kld = losses.vae_kld(aux["mu"], aux["logvar"])
+                metrics["KLD"] = jnp.mean(kld)
+                if not self.adversarial:
+                    # reference models/autoencoder.py:148
+                    total = total + jnp.mean(kld)
+                # adversarial case: KLD trains through its own optimizer
+                # (see train_step); stop-gradiented out of the seg loss
+                # (reference models/autoencoder.py:137-146)
+
             return total, (new_ms, new_adv_ms, metrics, logits)
 
         def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
@@ -305,6 +322,27 @@ class SegmentationTrainer(Trainer):
                     state.adv_params,
                     state.adv_opt_state,
                 )
+
+            extra_opt_state = state.extra_opt_state
+            if self.variational and self.adversarial:
+                # Separate low-LR Adam on the KLD objective (reference
+                # models/autoencoder.py:143-146). Second backward pass; the
+                # forward is CSE'd with the main loss's by XLA.
+                def kld_only(p):
+                    out, _ = self._fwd.apply(
+                        p, state.model_state, step_rng,
+                        batch["image"].astype(self.policy.compute_dtype),
+                        train=True,
+                    )
+                    _, aux = out
+                    return jnp.mean(losses.vae_kld(aux["mu"], aux["logvar"]))
+
+                g_kld = jax.grad(kld_only)(params)
+                kld_updates, extra_opt_state = self.kld_optimizer.update(
+                    g_kld, state.extra_opt_state, params
+                )
+                params = optax.apply_updates(params, kld_updates)
+
             new_state = TrainState(
                 step=state.step + 1,
                 rng=rng,
@@ -314,6 +352,7 @@ class SegmentationTrainer(Trainer):
                 adv_params=adv_params,
                 adv_model_state=new_adv_ms,
                 adv_opt_state=adv_opt_state,
+                extra_opt_state=extra_opt_state,
             )
             return new_state, metrics
 
@@ -345,10 +384,11 @@ class SegmentationTrainer(Trainer):
         def infer_fn(params, model_state, rng, x):
             """inference_ops = [sigmoid(ŷ), argmax map] (reference
             models/unet.py:75-79)."""
-            logits, _ = self._fwd.apply(
+            out, _ = self._fwd.apply(
                 params, model_state, rng, x.astype(self.policy.compute_dtype),
                 train=False,
             )
+            logits = out[0] if isinstance(out, tuple) else out
             y_hat_sig = jax.nn.sigmoid(logits.astype(jnp.float32))
             output = jnp.argmax(y_hat_sig, axis=3)[..., None].astype(
                 jnp.float32
@@ -364,10 +404,11 @@ class SegmentationTrainer(Trainer):
             keys = jax.random.split(rng, n_samples)
 
             def one(k):
-                logits, _ = self._fwd.apply(
+                out, _ = self._fwd.apply(
                     params, model_state, k,
                     x.astype(self.policy.compute_dtype), train=False,
                 )
+                logits = out[0] if isinstance(out, tuple) else out
                 return jax.nn.sigmoid(logits.astype(jnp.float32))
 
             samples = jax.lax.map(one, keys)  # [S, N, H, W, C]
@@ -377,10 +418,6 @@ class SegmentationTrainer(Trainer):
             return mean, var, output
 
         self._infer_mc = jax.jit(infer_mc_fn, static_argnums=4)
-
-    def _extra_loss(self, params, metrics):
-        """Hook for subclasses (e.g. VAE KLD)."""
-        return 0.0
 
     # ------------------------------------------------------------------ state
     def _init_state(self):
@@ -396,9 +433,10 @@ class SegmentationTrainer(Trainer):
         opt_state = self.optimizer.init(params)
 
         if self.adversarial:
-            logits, _ = self._fwd.apply(
+            out, _ = self._fwd.apply(
                 params, model_state, adv_rng, x0, train=False
             )
+            logits = out[0] if isinstance(out, tuple) else out
             if self.autoencoder:
                 # AAE adversary sees reconstructions [N, H, W, C_in]
                 adv_in = jnp.zeros(logits.shape, self.policy.compute_dtype)
@@ -415,6 +453,11 @@ class SegmentationTrainer(Trainer):
         else:
             adv_params, adv_ms, adv_opt_state = {}, {}, ()
 
+        extra_opt_state = (
+            self.kld_optimizer.init(params)
+            if (self.variational and self.adversarial)
+            else ()
+        )
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
             rng=state_rng,
@@ -424,6 +467,7 @@ class SegmentationTrainer(Trainer):
             adv_params=adv_params,
             adv_model_state=adv_ms,
             adv_opt_state=adv_opt_state,
+            extra_opt_state=extra_opt_state,
         )
         self.state = self._replicate(state)
         n_params = sum(
