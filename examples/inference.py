@@ -1,0 +1,102 @@
+"""Bayesian MC-dropout inference with uncertainty maps.
+
+Rebuild of reference examples/inference.py:30-61 (BASELINE.md config #5):
+restore a trained model, run stochastic forward passes over input tiles,
+write mask + per-pixel uncertainty images. With multiple devices and a
+SAME-padded model, the 1024×1024 tile path goes through spatial
+partitioning with halo exchange (segmentation_tpu.parallel.spatial).
+
+  python examples/inference.py --image-dir imgs/ --save-dir snapshot/unet \
+      --mc-samples 16 --out-dir pred/
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--image-dir", default=None)
+    ap.add_argument("--model", default="unet",
+                    choices=["unet", "fcn", "deconvolution"])
+    ap.add_argument("--n-classes", type=int, default=2)
+    ap.add_argument("--crop-size", type=int, default=512)
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--mc-samples", type=int, default=16)
+    ap.add_argument("--save-dir", default="./snapshot/unet")
+    ap.add_argument("--out-dir", default="./pred")
+    args = ap.parse_args()
+
+    from segmentation_tpu.core.config import ModelConfig, TrainConfig
+    from segmentation_tpu.data import load_images
+    from segmentation_tpu.models import (
+        DeconvModel,
+        FCN,
+        SegmentationTrainer,
+        UNet,
+    )
+
+    hw = (args.crop_size, args.crop_size)
+    mcfg = ModelConfig(
+        name=args.model, n_classes=args.n_classes, input_dims=hw,
+        bayesian=True,
+    )
+    # INFERENCE mode forces snapshot restore (reference basemodel.py:53-55)
+    tcfg = TrainConfig(mode="INFERENCE", save_dir=args.save_dir)
+    model = {"unet": UNet, "fcn": FCN, "deconvolution": DeconvModel}[
+        args.model
+    ](mcfg)
+
+    class _Feed:  # inference needs no dataset; keep ctor parity
+        batch_size = args.batch_size
+        has_masks = False
+        use_feed = True
+
+        def get_batch(self):
+            raise RuntimeError("inference mode")
+
+    trainer = SegmentationTrainer(
+        model, dataset=_Feed(), model_cfg=mcfg, train_cfg=tcfg
+    )
+
+    if args.image_dir:
+        paths = sorted(
+            os.path.join(args.image_dir, f)
+            for f in os.listdir(args.image_dir)
+            if f.lower().endswith((".jpg", ".jpeg", ".png"))
+        )
+        imgs = load_images(paths, args.batch_size, args.crop_size, seed=0)
+    else:
+        print("no --image-dir: using random tiles")
+        imgs = np.random.default_rng(0).random(
+            (args.batch_size, *hw, 3), dtype=np.float32
+        )
+
+    mean, var, output = trainer.infer_bayesian(imgs, args.mc_samples)
+    os.makedirs(args.out_dir, exist_ok=True)
+    try:
+        import cv2
+
+        for i in range(len(imgs)):
+            cv2.imwrite(
+                os.path.join(args.out_dir, f"{i:04d}_mask.png"),
+                (output[i, :, :, 0] * 255).astype(np.uint8),
+            )
+            u = var[i].mean(-1)
+            u = (255 * u / max(float(u.max()), 1e-8)).astype(np.uint8)
+            cv2.imwrite(
+                os.path.join(args.out_dir, f"{i:04d}_uncertainty.png"), u
+            )
+    except ImportError:
+        np.savez(os.path.join(args.out_dir, "outputs.npz"),
+                 mean=mean, var=var, mask=output)
+    print(f"wrote {len(imgs)} mask+uncertainty pairs to {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -33,11 +33,20 @@ class DevicePrefetcher:
     transfer overlaps with the running step; consuming code just sees
     device arrays that are already (or nearly) there."""
 
-    def __init__(self, source: Iterator, mesh=None, depth: int = 2):
+    def __init__(self, source, mesh=None, depth: int = 2):
+        # Accept either a dataset object (get_batch + attrs, delegated) or a
+        # plain iterator of batch dicts.
+        self._base = source if hasattr(source, "get_batch") else None
         self.source = iter(source)
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
         self.depth = max(1, depth)
         self._fifo: collections.deque = collections.deque()
+
+    def __getattr__(self, name):
+        base = self.__dict__.get("_base")
+        if base is not None:
+            return getattr(base, name)
+        raise AttributeError(name)
 
     def _enqueue_one(self):
         batch = next(self.source)
