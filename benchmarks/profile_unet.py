@@ -46,22 +46,26 @@ def main(batch=32, n_kernels=32, steps=3):
     @jax.jit
     def infer(x):
         logits, _ = fwd.apply(params, state, None, x, train=False)
-        return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+        return jnp.sum(
+            jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        )
 
     x = jnp.asarray(
         np.random.default_rng(0).random((batch, 512, 512, 3)), jnp.bfloat16
     )
-    float(infer(x).sum())  # compile + settle
+    print("compiling...", flush=True)
+    compiled = infer.lower(x).compile()
+    hlo = compiled.as_text()
+    float(compiled(x))  # settle
+    print("tracing...", flush=True)
 
     trace_dir = tempfile.mkdtemp(prefix="unet_profile_")
     jax.profiler.start_trace(trace_dir)
     for _ in range(steps):
-        out = infer(x)
-    float(out.sum())
+        out = compiled(x)
+    float(out)
     jax.profiler.stop_trace()
-
-    # HLO text for fusion-name → op_name mapping
-    hlo = jax.jit(infer).lower(x).compile().as_text()
+    print("parsing...", flush=True)
     meta = {}
     for line in hlo.splitlines():
         line = line.strip()

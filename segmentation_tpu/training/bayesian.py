@@ -1,0 +1,66 @@
+"""Bayesian / MC-dropout subsystem (Kendall & Gal 2017) — reference §2 #16.
+
+The reference's mechanism: ``bayesian=True`` inserts dropout at fixed points
+in every model and slim's default training-mode behavior keeps it live at
+inference, so repeated ``infer()`` calls sample the posterior
+(reference examples/inference.py:31-38). Here the mechanism is explicit:
+layers pass ``deterministic=False`` when cfg.bayesian, and these helpers
+turn N stochastic forwards into calibrated uncertainty summaries — as one
+compiled program (SegmentationTrainer.infer_bayesian) or over spatially
+partitioned giant tiles (parallel.spatial.spatial_infer_bayesian).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def mc_sample(
+    apply_fn: Callable,
+    params,
+    model_state,
+    rng: jax.Array,
+    x: jnp.ndarray,
+    n_samples: int,
+) -> jnp.ndarray:
+    """[S, N, H, W, C] sigmoid probabilities from S stochastic forwards.
+    Serial ``lax.map`` keeps peak memory at one activation set."""
+    keys = jax.random.split(rng, n_samples)
+
+    def one(k):
+        out, _ = apply_fn(params, model_state, k, x, train=False)
+        logits = out[0] if isinstance(out, tuple) else out
+        return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+    return jax.lax.map(one, keys)
+
+
+def predictive_moments(samples: jnp.ndarray):
+    """Per-pixel predictive mean / variance over the sample axis."""
+    return jnp.mean(samples, axis=0), jnp.var(samples, axis=0)
+
+
+def predictive_entropy(samples: jnp.ndarray) -> jnp.ndarray:
+    """H[E p] — total predictive uncertainty, [N, H, W]."""
+    p = jnp.mean(samples, axis=0)
+    p = p / jnp.clip(jnp.sum(p, axis=-1, keepdims=True), 1e-8)
+    return -jnp.sum(p * jnp.log(jnp.clip(p, 1e-8)), axis=-1)
+
+
+def mutual_information(samples: jnp.ndarray) -> jnp.ndarray:
+    """BALD decomposition: H[E p] − E H[p] — the epistemic component of the
+    uncertainty (what MC-dropout is for), [N, H, W]."""
+    p = samples / jnp.clip(jnp.sum(samples, axis=-1, keepdims=True), 1e-8)
+    per_sample_h = -jnp.sum(p * jnp.log(jnp.clip(p, 1e-8)), axis=-1)
+    return predictive_entropy(samples) - jnp.mean(per_sample_h, axis=0)
+
+
+def uncertainty_report(
+    samples: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(mean, variance, predictive entropy, epistemic MI) in one pass."""
+    mean, var = predictive_moments(samples)
+    return mean, var, predictive_entropy(samples), mutual_information(samples)
