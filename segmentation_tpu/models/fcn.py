@@ -19,13 +19,12 @@ import jax.numpy as jnp
 
 from segmentation_tpu.core.config import ModelConfig
 from segmentation_tpu.nn import (
-    bilinear_upsample_weights,
     center_crop_or_pad,
     conv2d,
     dropout,
-    fixed_conv2d_transpose,
     max_pool,
 )
+from segmentation_tpu.nn.upsampling import upsample_separable
 
 
 @dataclasses.dataclass
@@ -70,9 +69,11 @@ class FCN:
         t = self.cfg.fcn_type
 
         if t == "32s":
-            # reference models/fcn.py:133-145
-            up = fixed_conv2d_transpose(
-                score, bilinear_upsample_weights(32, nc), 32, "SAME"
+            # reference models/fcn.py:133-145; the fixed bilinear transposed
+            # conv runs as two separable banded matmuls on the MXU
+            # (nn.upsampling.upsample_separable — numerically identical)
+            up = upsample_separable(
+                score, 32, crop_to=(score.shape[1] * 32, score.shape[2] * 32)
             )
             return center_crop_or_pad(up, h, w)
 
@@ -80,16 +81,17 @@ class FCN:
         pool4_score = conv2d(
             pool4, nc, 1, 1, "SAME", name="pool4_score", activation=None
         )
-        up = fixed_conv2d_transpose(
-            score, bilinear_upsample_weights(2, nc), 2, "SAME"
+        up = upsample_separable(
+            score, 2, crop_to=(score.shape[1] * 2, score.shape[2] * 2)
         )
         up = center_crop_or_pad(up, pool4_score.shape[1], pool4_score.shape[2])
         fused = pool4_score + up
 
         if t == "16s":
             # reference models/fcn.py:148-176
-            out = fixed_conv2d_transpose(
-                fused, bilinear_upsample_weights(16, nc), 16, "SAME"
+            out = upsample_separable(
+                fused, 16,
+                crop_to=(fused.shape[1] * 16, fused.shape[2] * 16),
             )
             return center_crop_or_pad(out, h, w)
 
@@ -98,15 +100,16 @@ class FCN:
             pool3_score = conv2d(
                 pool3, nc, 1, 1, "SAME", name="pool3_score", activation=None
             )
-            up2 = fixed_conv2d_transpose(
-                fused, bilinear_upsample_weights(2, nc), 2, "SAME"
+            up2 = upsample_separable(
+                fused, 2, crop_to=(fused.shape[1] * 2, fused.shape[2] * 2)
             )
             up2 = center_crop_or_pad(
                 up2, pool3_score.shape[1], pool3_score.shape[2]
             )
             fused2 = pool3_score + up2
-            out = fixed_conv2d_transpose(
-                fused2, bilinear_upsample_weights(8, nc), 8, "SAME"
+            out = upsample_separable(
+                fused2, 8,
+                crop_to=(fused2.shape[1] * 8, fused2.shape[2] * 8),
             )
             return center_crop_or_pad(out, h, w)
 
