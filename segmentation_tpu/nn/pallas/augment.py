@@ -1,0 +1,109 @@
+"""Pallas TPU kernel: fused random-crop + flip + normalize.
+
+The device tail of the input pipeline (SURVEY §7 data layer): a uint8
+staging batch sits in HBM; per-sample crop offsets arrive as scalar-prefetch
+operands, so each grid step DMAs exactly its (crop × crop) window from HBM
+into VMEM — no materialized gather, no full-image normalize — then applies
+the /255 normalization (and optional horizontal flip) on the VPU and writes
+the float block. Saves (H·W − crop²)/H·W of the HBM read traffic vs the XLA
+dynamic-slice formulation and fuses three pipeline stages into one kernel.
+
+Falls back transparently to segmentation_tpu.data.augment.device_augment on
+non-TPU backends.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _crop_kernel(ys_ref, xs_ref, flips_ref, img_hbm, out_ref, scratch, sem,
+                 *, crop: int, out_dtype):
+    i = pl.program_id(0)
+    y = ys_ref[i]
+    x = xs_ref[i]
+    cp = pltpu.make_async_copy(
+        img_hbm.at[i, pl.ds(y, crop), pl.ds(x, crop), :],
+        scratch,
+        sem,
+    )
+    cp.start()
+    cp.wait()
+    data = scratch[...].astype(jnp.float32) * (1.0 / 255.0)
+    flipped = jnp.flip(data, axis=1)
+    fl = flips_ref[i]
+    out_ref[0] = jnp.where(fl != 0, flipped, data).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("crop", "out_dtype", "interpret")
+)
+def pallas_crop_normalize(
+    images_u8: jax.Array,  # [N, H, W, C] uint8 (HBM staging)
+    ys: jax.Array,  # [N] int32 crop row offsets
+    xs: jax.Array,  # [N] int32 crop col offsets
+    flips: jax.Array,  # [N] int32 (0/1) horizontal flip flags
+    crop: int,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jax.Array:
+    n, h, w, c = images_u8.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, crop, crop, c),
+            lambda i, ys, xs, fl: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((crop, crop, c), jnp.uint8),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(_crop_kernel, crop=crop, out_dtype=out_dtype)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, crop, crop, c), out_dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(ys.astype(jnp.int32), xs.astype(jnp.int32), flips.astype(jnp.int32),
+      images_u8)
+
+
+def fused_augment(
+    key: jax.Array,
+    images_u8: jax.Array,
+    masks_u8,
+    crop: int,
+    flip: bool = True,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Drop-in for data.augment.device_augment's crop/flip/normalize stage
+    using the Pallas kernel for both image and mask (mask stays uint8-coded
+    via a 0/1 scale — normalized path × 255 gives back the class index)."""
+    n, h, w, _ = images_u8.shape
+    k_y, k_x, k_f = jax.random.split(key, 3)
+    ys = jax.random.randint(k_y, (n,), 0, h - crop + 1)
+    xs = jax.random.randint(k_x, (n,), 0, w - crop + 1)
+    flips = (
+        jax.random.bernoulli(k_f, 0.5, (n,)).astype(jnp.int32)
+        if flip else jnp.zeros((n,), jnp.int32)
+    )
+    imgs = pallas_crop_normalize(
+        images_u8, ys, xs, flips, crop, out_dtype, interpret
+    )
+    masks = None
+    if masks_u8 is not None:
+        m = pallas_crop_normalize(
+            masks_u8, ys, xs, flips, crop, jnp.float32, interpret
+        )
+        masks = jnp.round(m * 255.0).astype(jnp.uint8)
+    return imgs, masks
