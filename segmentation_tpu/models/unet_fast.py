@@ -1,0 +1,227 @@
+"""Space-to-depth U-Net inference path — the TPU lane-utilization rewrite.
+
+Why: the reference U-Net's top levels run 3×3 convs with 32/64 channels.
+TPU vector lanes are 128 wide, so XLA pads those channel dims 4×/2× — the
+levels that hold most of the FLOPs AND most of the bytes execute at ≤25%
+lane utilization (measured via benchmarks/profile_unet.py). This module
+re-expresses the SAME network exactly (same params, equal math up to float
+reassociation) in a packed layout:
+
+  space-to-depth 2×2:   [N, H, W, C] → [N, H/2, W/2, 4, C]
+  3×3 VALID conv        → 2×2 conv over 4C→4O channels (1.78× FLOPs at 4×
+                          lane width — net win)
+  2×2/2 max-pool        → max over the 4 packing slots (pure VPU, no
+                          spatial op at all)
+  2×2/2 transposed conv → a 1×1 matmul whose outputs land pre-packed
+  center-crop + concat  → slot-aligned packed slicing (even offsets) or
+                          unpack/repack (odd offsets)
+
+Usage:
+  fast = UNetS2DInference(cfg)
+  prepared = fast.prepare(params)        # packs weights, once, outside jit
+  logits = jax.jit(fast.apply)(prepared, x)
+
+Only inference: training takes the standard segmentation_tpu.models.unet
+path. Parity is locked by tests/test_unet_fast.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from segmentation_tpu.core.config import ModelConfig
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+# ------------------------------------------------------------------ packing
+def pack2(x: jnp.ndarray) -> jnp.ndarray:
+    """[N, H, W, C] → [N, H/2, W/2, 4, C]; slot index s = 2*dy + dx."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4, c)
+
+
+def unpack2(xp: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of pack2."""
+    n, hp, wp, s, c = xp.shape
+    x = xp.reshape(n, hp, wp, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, hp * 2, wp * 2, c)
+
+
+def pack_conv3_weight(w: np.ndarray) -> np.ndarray:
+    """[3, 3, C, O] → [2, 2, 4C, 4O] packed-space kernel.
+
+    W2[u, v, (a,b,c), (d,e,o)] = W[2u+a-d, 2v+b-e, c, o] when both tap
+    indices land in [0, 3), else 0 (6/8 slot pairs live per axis)."""
+    w = np.asarray(w)
+    c, o = w.shape[2], w.shape[3]
+    w2 = np.zeros((2, 2, 4, c, 4, o), w.dtype)
+    for u in range(2):
+        for v in range(2):
+            for a in range(2):
+                for b in range(2):
+                    for d in range(2):
+                        for e in range(2):
+                            ky = 2 * u + a - d
+                            kx = 2 * v + b - e
+                            if 0 <= ky < 3 and 0 <= kx < 3:
+                                w2[u, v, 2 * a + b, :, 2 * d + e, :] = (
+                                    w[ky, kx]
+                                )
+    return w2.reshape(2, 2, 4 * c, 4 * o)
+
+
+def packed_conv3(xp, w2, b, relu=True):
+    """Packed-space 3×3 VALID conv: [N,Hp,Wp,4,C] → [N,Hp-1,Wp-1,4,O]."""
+    n, hp, wp, s, c = xp.shape
+    o4 = w2.shape[-1]
+    y = lax.conv_general_dilated(
+        xp.reshape(n, hp, wp, s * c), w2.astype(xp.dtype),
+        (1, 1), "VALID", dimension_numbers=_DN,
+    )
+    y = y.reshape(n, hp - 1, wp - 1, 4, o4 // 4)
+    y = y + b.astype(y.dtype)
+    return jax.nn.relu(y) if relu else y
+
+
+def packed_pool(xp):
+    """2×2/2 max-pool in packed space = max over the 4 slots → UNPACKED
+    [N, Hp, Wp, C] (the pooled grid IS the packed grid)."""
+    return jnp.max(xp, axis=3)
+
+
+def deconv2_as_matmul(x, wm, b, o, relu=True):
+    """2×2 stride-2 VALID transposed conv as a matmul with pre-packed
+    output: wm is the [C, 4O] rearrangement of the [2,2,C,O] kernel."""
+    y = jnp.einsum("nijc,ck->nijk", x, wm.astype(x.dtype))
+    y = y.reshape(*y.shape[:3], 4, o) + b.astype(y.dtype)
+    return jax.nn.relu(y) if relu else y
+
+
+def packed_center_crop(skip_p, target_hw, off):
+    """Center-crop a packed tensor to (unpacked) target size. Even offsets
+    slice the packed grid; odd offsets unpack → crop → repack."""
+    th, tw = target_hw
+    oh, ow = off
+    if oh % 2 == 0 and ow % 2 == 0 and th % 2 == 0 and tw % 2 == 0:
+        return skip_p[
+            :, oh // 2 : oh // 2 + th // 2, ow // 2 : ow // 2 + tw // 2
+        ]
+    x = unpack2(skip_p)
+    x = x[:, oh : oh + th, ow : ow + tw, :]
+    return pack2(x)
+
+
+# ------------------------------------------------------------------ forward
+@dataclasses.dataclass
+class UNetS2DInference:
+    """Inference over standard UNet params (segmentation_tpu.models.unet
+    names) in the packed layout. Requires even input H/W (512 qualifies);
+    levels 1-2 run packed (C = k, 2k), deeper levels standard; the last two
+    decoder up-blocks run packed again."""
+
+    cfg: ModelConfig
+    levels: int = 4
+
+    @property
+    def packed_levels(self) -> int:
+        return min(2, self.levels)
+
+    def prepare(self, params: Dict[str, jnp.ndarray]):
+        """Pack the affected conv kernels once (host-side numpy)."""
+        out = dict(params)
+        L, pl_ = self.levels, self.packed_levels
+        packed_names = []
+        for lvl in range(pl_):
+            packed_names += [f"conv{lvl + 1}_1", f"conv{lvl + 1}_2"]
+        for i, lvl in enumerate(reversed(range(L))):
+            if lvl < pl_:
+                packed_names += [f"conv{L + 2 + i}_1", f"conv{L + 2 + i}_2"]
+                up = f"upconv{i + 1}"
+                w = np.asarray(params[f"{up}/w"], np.float32)
+                c, o = w.shape[2], w.shape[3]
+                out[f"{up}/wm"] = jnp.asarray(
+                    np.transpose(w, (2, 0, 1, 3)).reshape(c, 4 * o)
+                )
+        for name in packed_names:
+            out[f"{name}/w2"] = jnp.asarray(
+                pack_conv3_weight(np.asarray(params[f"{name}/w"], np.float32))
+            )
+        return out
+
+    def apply(self, prepared: Dict[str, jnp.ndarray], x: jnp.ndarray):
+        k = self.cfg.n_kernels
+        L, pl_ = self.levels, self.packed_levels
+        p = prepared
+
+        def conv(h, name, relu=True):
+            y = lax.conv_general_dilated(
+                h, p[f"{name}/w"].astype(h.dtype), (1, 1), "VALID",
+                dimension_numbers=_DN,
+            )
+            y = y + p[f"{name}/b"].astype(y.dtype)
+            return jax.nn.relu(y) if relu else y
+
+        skips = []
+        h = x
+        for lvl in range(pl_):
+            hp = pack2(h)
+            for tag in ("_1", "_2"):
+                nm = f"conv{lvl + 1}{tag}"
+                hp = packed_conv3(hp, p[f"{nm}/w2"], p[f"{nm}/b"])
+            skips.append(("packed", hp))
+            h = packed_pool(hp)
+        for lvl in range(pl_, L):
+            h = conv(h, f"conv{lvl + 1}_1")
+            h = conv(h, f"conv{lvl + 1}_2")
+            skips.append(("plain", h))
+            h = lax.reduce_window(
+                h, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            )
+        h = conv(h, f"conv{L + 1}_1")
+        h = conv(h, f"conv{L + 1}_2")
+
+        for i, lvl in enumerate(reversed(range(L))):
+            up = f"upconv{i + 1}"
+            c1, c2 = f"conv{L + 2 + i}_1", f"conv{L + 2 + i}_2"
+            kind, skip = skips[lvl]
+            width = k * (2**lvl)
+            if lvl < pl_:
+                hp = deconv2_as_matmul(h, p[f"{up}/wm"], p[f"{up}/b"], width)
+                th, tw = hp.shape[1] * 2, hp.shape[2] * 2
+                sk = skip if kind == "packed" else pack2(skip)
+                sh, sw = sk.shape[1] * 2, sk.shape[2] * 2
+                off = ((sh - th) // 2, (sw - tw) // 2)
+                sk = packed_center_crop(sk, (th, tw), off)
+                hp = jnp.concatenate([sk, hp], axis=-1)
+                hp = packed_conv3(hp, p[f"{c1}/w2"], p[f"{c1}/b"])
+                hp = packed_conv3(hp, p[f"{c2}/w2"], p[f"{c2}/b"])
+                h = unpack2(hp)
+            else:
+                h = lax.conv_transpose(
+                    h, jnp.swapaxes(p[f"{up}/w"], 2, 3).astype(h.dtype),
+                    (2, 2), "VALID", dimension_numbers=_DN,
+                    transpose_kernel=True,
+                )
+                h = jax.nn.relu(h + p[f"{up}/b"].astype(h.dtype))
+                sk = skip
+                dh = sk.shape[1] - h.shape[1]
+                dw = sk.shape[2] - h.shape[2]
+                sk = sk[:, dh // 2 : dh // 2 + h.shape[1],
+                        dw // 2 : dw // 2 + h.shape[2], :]
+                h = jnp.concatenate([sk, h], axis=-1)
+                h = conv(h, c1)
+                h = conv(h, c2)
+
+        logits = lax.conv_general_dilated(
+            h, p["output/w"].astype(h.dtype), (1, 1), "VALID",
+            dimension_numbers=_DN,
+        )
+        return logits + p["output/b"].astype(logits.dtype)

@@ -1,0 +1,82 @@
+"""Parity: the space-to-depth U-Net inference path must reproduce the
+standard forward bit-for-bit up to float reassociation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from segmentation_tpu.core.config import ModelConfig
+from segmentation_tpu.models.unet import UNet
+from segmentation_tpu.models.unet_fast import (
+    UNetS2DInference,
+    pack2,
+    pack_conv3_weight,
+    unpack2,
+)
+from segmentation_tpu.nn import module as hk
+
+
+def test_pack_unpack_roundtrip():
+    x = jnp.arange(2 * 8 * 6 * 3, dtype=jnp.float32).reshape(2, 8, 6, 3)
+    np.testing.assert_array_equal(np.asarray(unpack2(pack2(x))), np.asarray(x))
+
+
+def test_packed_conv_matches_plain():
+    from jax import lax
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 12, 10, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 5)).astype(np.float32))
+    ref = lax.conv_general_dilated(
+        x, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    w2 = jnp.asarray(pack_conv3_weight(np.asarray(w)))
+    xp = pack2(x)
+    n, hp, wp, s, c = xp.shape
+    y = lax.conv_general_dilated(
+        xp.reshape(n, hp, wp, s * c), w2, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = unpack2(y.reshape(n, hp - 1, wp - 1, 4, 5))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-4)
+
+
+def test_s2d_unet_parity_full():
+    hw = (204, 204)
+    mcfg = ModelConfig(name="unet", n_classes=2, input_dims=hw, n_kernels=4)
+    model = UNet(mcfg, levels=4)
+    fwd = hk.transform(lambda x: model(x))
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(0.5, 0.2, (1, *hw, 3)).astype(
+            np.float32
+        )
+    )
+    params, state = fwd.init(jax.random.PRNGKey(0), x, train=False)
+    ref, _ = fwd.apply(params, state, None, x, train=False)
+
+    fast = UNetS2DInference(mcfg, levels=4)
+    prepared = fast.prepare(params)
+    got = fast.apply(prepared, x)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_s2d_unet_parity_shallow():
+    hw = (60, 60)
+    mcfg = ModelConfig(name="unet", n_classes=3, input_dims=hw, n_kernels=4)
+    model = UNet(mcfg, levels=2)
+    fwd = hk.transform(lambda x: model(x))
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(0.5, 0.2, (2, *hw, 3)).astype(
+            np.float32
+        )
+    )
+    params, state = fwd.init(jax.random.PRNGKey(0), x, train=False)
+    ref, _ = fwd.apply(params, state, None, x, train=False)
+    fast = UNetS2DInference(mcfg, levels=2)
+    got = fast.apply(fast.prepare(params), x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-3
+    )
