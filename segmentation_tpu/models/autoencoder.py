@@ -210,7 +210,17 @@ class Autoencoder:
         """Returns (y_hat, aux); aux carries μ/logvar for the VAE loss."""
         cfg = self.cfg
         self._out_channels = x.shape[-1]
-        zed = self.encode(x)
+        enc_in = x
+        if cfg.denoising and hk.is_training():
+            # Denoising mode: corrupt the encoder input with multiplicative
+            # Gaussian noise; the reconstruction target stays the clean x
+            # (the reference declared the knob but deferred the mechanism —
+            # models/autoencoder.py:193-196 'These are for later').
+            noise = 1.0 + 0.3 * jax.random.normal(
+                hk.next_rng_key(), x.shape
+            ).astype(x.dtype)
+            enc_in = x * noise
+        zed = self.encode(enc_in)
         aux = {}
         if cfg.variational:
             mu = dense(zed, cfg.zed_dim, name="mu", activation=None)

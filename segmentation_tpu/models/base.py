@@ -181,6 +181,7 @@ class SegmentationTrainer(Trainer):
         self.variational = bool(mcfg.variational) and self.autoencoder
         self.xent_alpha = 1.5  # reference models/autoencoder.py:89
         self.in_out_crop = bool(getattr(model, "IN_OUT_CROP", False))
+        self.in_out_ratio = bool(getattr(model, "IN_OUT_RATIO", False))
 
         self._fwd = hk.transform(lambda x: model(x))
         if self.adversarial and self._adversary_net is None:
@@ -199,14 +200,22 @@ class SegmentationTrainer(Trainer):
 
         # ---- the jitted step ---------------------------------------------
         def align_target(y, logits):
-            """IN_OUT_CROP: center-crop labels to the logits' spatial size
-            (reference models/unet.py:171-174, basemodel.py:412-417)."""
-            if self.in_out_crop and (
-                y.shape[1] != logits.shape[1] or y.shape[2] != logits.shape[2]
-            ):
-                if y.ndim == 3:
-                    y = y[..., None]
+            """Shape-contract alignment (reference models/basemodel.py:
+            412-417): IN_OUT_CROP center-crops labels to the logits' size
+            (models/unet.py:171-174); IN_OUT_RATIO nearest-resizes them
+            (class maps must not be interpolated)."""
+            if y.shape[1] == logits.shape[1] and y.shape[2] == logits.shape[2]:
+                return y
+            if y.ndim == 3:
+                y = y[..., None]
+            if self.in_out_crop:
                 y = center_crop_or_pad(y, logits.shape[1], logits.shape[2])
+            elif self.in_out_ratio:
+                y = jax.image.resize(
+                    y, (y.shape[0], logits.shape[1], logits.shape[2],
+                        y.shape[3]),
+                    method="nearest",
+                )
             return y
 
         def loss_fn(params, adv_params, model_state, adv_model_state, rng, batch, train):

@@ -34,7 +34,8 @@ def _crop_kernel(ys_ref, xs_ref, flips_ref, img_hbm, out_ref, scratch, sem,
     )
     cp.start()
     cp.wait()
-    data = scratch[...].astype(jnp.float32) * (1.0 / 255.0)
+    # Mosaic has no direct uint8→float32 cast; hop through int32.
+    data = scratch[...].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
     flipped = jnp.flip(data, axis=1)
     fl = flips_ref[i]
     out_ref[0] = jnp.where(fl != 0, flipped, data).astype(out_dtype)
