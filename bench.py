@@ -29,6 +29,7 @@ def main():
 
     from segmentation_tpu.core.config import ModelConfig
     from segmentation_tpu.models.unet import UNet
+    from segmentation_tpu.models.unet_fast import UNetS2DInference
     from segmentation_tpu.nn import module as hk
 
     details = {"device": str(jax.devices()[0])}
@@ -49,13 +50,21 @@ def main():
         else p,
         params,
     )
+    # Inference runs through the space-to-depth path (exact parity with the
+    # standard forward — tests/test_unet_fast.py)
+    fast = UNetS2DInference(mcfg)
+    prepared = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16)
+        if jnp.issubdtype(p.dtype, jnp.floating) else p,
+        fast.prepare(params),
+    )
 
     K = 8  # batches per dispatch: amortizes launch overhead; all real work
 
     @jax.jit
     def infer_many(xs):  # [K, B, 512, 512, 3] -> checksum
         def one(x):
-            logits, _ = fwd.apply(params, state, None, x, train=False)
+            logits = fast.apply(prepared, x)
             return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
         return jax.lax.map(one, xs).sum()

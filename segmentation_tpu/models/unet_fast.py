@@ -97,6 +97,17 @@ def packed_pool(xp):
     return jnp.max(xp, axis=3)
 
 
+def packed_pool_repack(xp):
+    """Fused pool + re-pack for packed→packed level transitions:
+    out[i, j, (d,e), c] = max_s xp[2i+d, 2j+e, s, c] via strided slot
+    slices — no unpacked intermediate, no transpose."""
+    pooled = jnp.max(xp, axis=3)  # [N, Hp, Wp, C] on the pooled grid
+    slots = [
+        pooled[:, d::2, e::2, :] for d in range(2) for e in range(2)
+    ]
+    return jnp.stack(slots, axis=3)
+
+
 def deconv2_as_matmul(x, wm, b, o, relu=True):
     """2×2 stride-2 VALID transposed conv as a matmul with pre-packed
     output: wm is the [C, 4O] rearrangement of the [2,2,C,O] kernel."""
@@ -106,17 +117,27 @@ def deconv2_as_matmul(x, wm, b, o, relu=True):
 
 
 def packed_center_crop(skip_p, target_hw, off):
-    """Center-crop a packed tensor to (unpacked) target size. Even offsets
-    slice the packed grid; odd offsets unpack → crop → repack."""
+    """Center-crop a packed tensor to (unpacked) target size without ever
+    unpacking. Even offsets slice the packed grid directly. Odd offsets are
+    a slot-phase shift: output slot (d, e) reads input slot
+    ((oh+d) % 2, (ow+e) % 2) at packed offset ((oh+d)//2, (ow+e)//2) —
+    four slices and a stack instead of two full-tensor transposes."""
     th, tw = target_hw
     oh, ow = off
-    if oh % 2 == 0 and ow % 2 == 0 and th % 2 == 0 and tw % 2 == 0:
+    if oh % 2 == 0 and ow % 2 == 0:
         return skip_p[
             :, oh // 2 : oh // 2 + th // 2, ow // 2 : ow // 2 + tw // 2
         ]
-    x = unpack2(skip_p)
-    x = x[:, oh : oh + th, ow : ow + tw, :]
-    return pack2(x)
+    slots = []
+    for d in range(2):
+        for e in range(2):
+            src_slot = (2 * ((oh + d) % 2) + ((ow + e) % 2))
+            ro = (oh + d) // 2
+            co = (ow + e) // 2
+            slots.append(
+                skip_p[:, ro : ro + th // 2, co : co + tw // 2, src_slot, :]
+            )
+    return jnp.stack(slots, axis=3)
 
 
 # ------------------------------------------------------------------ forward
@@ -170,14 +191,17 @@ class UNetS2DInference:
             return jax.nn.relu(y) if relu else y
 
         skips = []
-        h = x
+        hp = pack2(x)
+        h = None
         for lvl in range(pl_):
-            hp = pack2(h)
             for tag in ("_1", "_2"):
                 nm = f"conv{lvl + 1}{tag}"
                 hp = packed_conv3(hp, p[f"{nm}/w2"], p[f"{nm}/b"])
             skips.append(("packed", hp))
-            h = packed_pool(hp)
+            if lvl + 1 < pl_:
+                hp = packed_pool_repack(hp)  # stay packed, no transpose
+            else:
+                h = packed_pool(hp)  # hand off to the standard levels
         for lvl in range(pl_, L):
             h = conv(h, f"conv{lvl + 1}_1")
             h = conv(h, f"conv{lvl + 1}_2")
