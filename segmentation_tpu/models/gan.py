@@ -267,6 +267,10 @@ class GANTrainer(Trainer):
                 "gen_loss": g_loss,
                 "loss_real": loss_real,
                 "loss_fake": loss_fake,
+                # scalar stand-ins for the reference's per-variable gradient
+                # histograms (models/gan.py:148-156) — computed in-step
+                "disc_grad_norm": optax.global_norm(g_d),
+                "gen_grad_norm": optax.global_norm(g_g),
             }
             new_state = TrainState(
                 step=state.step + 1,

@@ -77,3 +77,15 @@ def test_summary_writer_none_logdir_noop():
     w.scalars(0, {"x": 1.0})  # must not raise
     w.images(0, "t", np.zeros((1, 4, 4, 1)))
     w.close()
+
+
+def test_vis_filters_grid():
+    from segmentation_tpu.utils.vis import vis_filters
+
+    w = np.random.default_rng(0).normal(size=(3, 3, 8, 10))
+    grid = vis_filters(w)
+    assert grid.ndim == 3 and grid.shape[-1] == 1
+    assert grid.min() >= 0.0 and grid.max() <= 1.0
+    w3 = np.random.default_rng(1).normal(size=(5, 5, 3, 4))
+    grid3 = vis_filters(w3)
+    assert grid3.shape[-1] == 3
