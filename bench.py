@@ -85,7 +85,7 @@ def main():
 
     best = 0.0
     sweep = {}
-    for batch in (32,):
+    for batch in (64,):
         try:
             ips = infer_throughput(batch)
             sweep[str(batch)] = round(ips, 1)

@@ -34,11 +34,11 @@ def _crop_kernel(ys_ref, xs_ref, flips_ref, img_hbm, out_ref, scratch, sem,
     )
     cp.start()
     cp.wait()
-    # Mosaic has no direct uint8→float32 cast; hop through int32.
+    # Mosaic has no direct uint8→float32 cast; hop through int32. (The flip
+    # happens outside the kernel — Mosaic lacks `rev` — on the already-
+    # cropped block, where it is a cheap fused op.)
     data = scratch[...].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
-    flipped = jnp.flip(data, axis=1)
-    fl = flips_ref[i]
-    out_ref[0] = jnp.where(fl != 0, flipped, data).astype(out_dtype)
+    out_ref[0] = data.astype(out_dtype)
 
 
 @functools.partial(
@@ -69,13 +69,16 @@ def pallas_crop_normalize(
         ],
     )
     kernel = functools.partial(_crop_kernel, crop=crop, out_dtype=out_dtype)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, crop, crop, c), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(ys.astype(jnp.int32), xs.astype(jnp.int32), flips.astype(jnp.int32),
       images_u8)
+    # horizontal flip on the cropped result (cheap; fused by XLA)
+    fl = (flips != 0).reshape(n, 1, 1, 1)
+    return jnp.where(fl, out[:, :, ::-1, :], out)
 
 
 def fused_augment(
