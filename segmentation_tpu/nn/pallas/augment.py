@@ -26,7 +26,10 @@ def _crop_kernel(ys_ref, xs_ref, flips_ref, img_hbm, out_ref, scratch, sem,
                  *, crop: int, out_dtype):
     i = pl.program_id(0)
     y = ys_ref[i]
-    x = xs_ref[i]
+    # Mosaic requires the W-dim HBM slice offset to be 8-aligned; crops are
+    # therefore taken at 8-pixel W granularity (H stays pixel-granular) —
+    # immaterial for random-crop augmentation, documented in fused_augment.
+    x = (xs_ref[i] // 8) * 8
     cp = pltpu.make_async_copy(
         img_hbm.at[i, pl.ds(y, crop), pl.ds(x, crop), :],
         scratch,
@@ -96,7 +99,8 @@ def fused_augment(
     n, h, w, _ = images_u8.shape
     k_y, k_x, k_f = jax.random.split(key, 3)
     ys = jax.random.randint(k_y, (n,), 0, h - crop + 1)
-    xs = jax.random.randint(k_x, (n,), 0, w - crop + 1)
+    # W offsets in 8px steps (see _crop_kernel alignment note)
+    xs = jax.random.randint(k_x, (n,), 0, (w - crop) // 8 + 1) * 8
     flips = (
         jax.random.bernoulli(k_f, 0.5, (n,)).astype(jnp.int32)
         if flip else jnp.zeros((n,), jnp.int32)
