@@ -156,6 +156,52 @@ def main():
     except Exception as e:
         details["unet512_train_images_per_sec"] = f"failed: {e}"
 
+    # --- input-pipeline bandwidth (BASELINE.md metric: MB/s per host) -----
+    try:
+        import tempfile
+
+        import cv2
+
+        tmp = tempfile.mkdtemp(prefix="bench_pipe_")
+        img_dir = os.path.join(tmp, "features")
+        mask_dir = os.path.join(tmp, "labels")
+        os.makedirs(img_dir), os.makedirs(mask_dir)
+        rng = np.random.default_rng(0)
+        for i in range(24):
+            cv2.imwrite(
+                os.path.join(img_dir, f"{i:03d}.jpg"),
+                rng.integers(0, 255, (600, 600, 3), dtype=np.uint8),
+            )
+            cv2.imwrite(
+                os.path.join(mask_dir, f"{i:03d}.png"),
+                rng.integers(0, 2, (600, 600), dtype=np.uint8) * 255,
+            )
+        from segmentation_tpu.data import native
+
+        if native.available():
+            ds = native.NativeImageMaskDataSet(
+                img_dir, mask_dir, batch_size=32, crop_size=512, threads=8,
+            )
+            ds.get_batch()
+            t0 = time.perf_counter()
+            nbytes = 0
+            for _ in range(8):
+                b = ds.get_batch()
+                nbytes += sum(a.nbytes for a in b.values())
+            details["pipeline_native_MBps"] = round(
+                nbytes / (time.perf_counter() - t0) / 1e6, 1
+            )
+            ds.close()
+    except Exception as e:
+        details["pipeline_native_MBps"] = f"failed: {e}"
+
+    details["parity_strategy"] = (
+        "reference is bit-rotted TF1 (SURVEY §2.9); parity is locked against "
+        "analytic oracles instead: torch conv/deconv + loss math, scipy/"
+        "closed-form bilinear kernels, TF crop semantics, and exact "
+        "s2d-vs-standard forward equality (tests/)"
+    )
+
     try:
         with open("BENCH_DETAILS.json", "w") as f:
             json.dump(details, f, indent=2)

@@ -149,7 +149,13 @@ def build_trainer(args, dataset=None, test_dataset=None):
                   model_cfg=mcfg, train_cfg=tcfg)
     name = args.model
     if name == "unet":
-        return SegmentationTrainer(UNet(mcfg), **kwargs)
+        # even-sized inputs take the space-to-depth fast path (exact parity;
+        # models/unet_fast.py) — measurably faster on TPU
+        h, w = mcfg.hw
+        from segmentation_tpu.models import UNetS2D
+
+        model = UNetS2D(mcfg) if h % 2 == 0 and w % 2 == 0 else UNet(mcfg)
+        return SegmentationTrainer(model, **kwargs)
     if name == "fcn":
         return SegmentationTrainer(FCN(mcfg), **kwargs)
     if name == "deconvolution":

@@ -18,6 +18,7 @@ from segmentation_tpu.models.infogan import (
 )
 from segmentation_tpu.models.template import Template
 from segmentation_tpu.models.unet import UNet
+from segmentation_tpu.models.unet_fast import UNetS2D, UNetS2DInference
 
 __all__ = [
     "Autoencoder",
@@ -35,4 +36,6 @@ __all__ = [
     "InfoGANTrainer",
     "Template",
     "UNet",
+    "UNetS2D",
+    "UNetS2DInference",
 ]

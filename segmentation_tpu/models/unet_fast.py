@@ -41,18 +41,35 @@ _DN = ("NHWC", "HWIO", "NHWC")
 
 
 # ------------------------------------------------------------------ packing
+def _reshape(x, shape):
+    """Reshape that tolerates batch-sharded operands under explicit-sharding
+    jit: dim 0 keeps its sharding, new dims are unsharded."""
+    try:
+        return x.reshape(shape)
+    except Exception:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = x.aval.sharding
+        out = NamedSharding(
+            sh.mesh, P(sh.spec[0], *([None] * (len(shape) - 1)))
+        )
+        return lax.reshape(x, shape, out_sharding=out)
+
+
 def pack2(x: jnp.ndarray) -> jnp.ndarray:
     """[N, H, W, C] → [N, H/2, W/2, 4, C]; slot index s = 2*dy + dx."""
     n, h, w, c = x.shape
-    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4, c)
+    x = _reshape(x, (n, h // 2, 2, w // 2, 2, c))
+    return _reshape(
+        x.transpose(0, 1, 3, 2, 4, 5), (n, h // 2, w // 2, 4, c)
+    )
 
 
 def unpack2(xp: jnp.ndarray) -> jnp.ndarray:
     """Inverse of pack2."""
     n, hp, wp, s, c = xp.shape
-    x = xp.reshape(n, hp, wp, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(n, hp * 2, wp * 2, c)
+    x = _reshape(xp, (n, hp, wp, 2, 2, c)).transpose(0, 1, 3, 2, 4, 5)
+    return _reshape(x, (n, hp * 2, wp * 2, c))
 
 
 def pack_conv3_weight(w: np.ndarray) -> np.ndarray:
@@ -75,6 +92,31 @@ def pack_conv3_weight(w: np.ndarray) -> np.ndarray:
                                 w2[u, v, 2 * a + b, :, 2 * d + e, :] = (
                                     w[ky, kx]
                                 )
+    return w2.reshape(2, 2, 4 * c, 4 * o)
+
+
+def pack_conv3_weight_jnp(w: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable (traceable) version of pack_conv3_weight: a gather of
+    the [3,3,C,O] kernel into the [2,2,4C,4O] packed form. Index arrays are
+    static; the op is a tiny gather+mask, so packing inside the train step
+    costs nothing while keeping params in the standard layout."""
+    c, o = w.shape[2], w.shape[3]
+    u = np.arange(2)[:, None, None, None]
+    v = np.arange(2)[None, :, None, None]
+    s_in = np.arange(4)[None, None, :, None]
+    s_out = np.arange(4)[None, None, None, :]
+    a, b_ = s_in // 2, s_in % 2
+    d, e = s_out // 2, s_out % 2
+    ky = 2 * u + a - d
+    kx = 2 * v + b_ - e
+    valid = (ky >= 0) & (ky < 3) & (kx >= 0) & (kx < 3)
+    kyc = np.clip(ky, 0, 2)
+    kxc = np.clip(kx, 0, 2)
+    # [2,2,4,4,C,O] gather then mask
+    w2 = w[jnp.asarray(kyc), jnp.asarray(kxc)]
+    w2 = jnp.where(jnp.asarray(valid)[..., None, None], w2, 0)
+    # [u,v,s_in,s_out,C,O] → [u,v,s_in,C,s_out,O] → [2,2,4C,4O]
+    w2 = jnp.transpose(w2, (0, 1, 2, 4, 3, 5))
     return w2.reshape(2, 2, 4 * c, 4 * o)
 
 
@@ -249,3 +291,83 @@ class UNetS2DInference:
             dimension_numbers=_DN,
         )
         return logits + p["output/b"].astype(logits.dtype)
+
+
+@dataclasses.dataclass
+class UNetS2D:
+    """Trainable s2d U-Net: declares the SAME parameters as models.unet.UNet
+    (names, shapes, initializers → checkpoints interchange) but runs the
+    packed forward, with the weight packing done as a differentiable gather
+    inside the step (pack_conv3_weight_jnp). Drop-in for SegmentationTrainer
+    — train_step/backward also benefit from the lane-utilization win.
+
+    Constraint: even input H/W (the packed encoder); use UNet for arbitrary
+    sizes.
+    """
+
+    cfg: ModelConfig
+    levels: int = 4
+
+    IN_OUT_EQUAL = False
+    IN_OUT_CROP = True
+    IN_OUT_RATIO = False
+    model_name = "unet"  # checkpoint-compatible with the standard UNet
+
+    def output_hw(self, in_hw):
+        from segmentation_tpu.nn.shapes import unet_output_hw
+
+        return unet_output_hw(in_hw, self.levels)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from segmentation_tpu.nn import initializers as init
+        from segmentation_tpu.nn import module as hk
+
+        k = self.cfg.n_kernels
+        nc = self.cfg.n_classes
+        L = self.levels
+        cin = self.cfg.input_channel
+
+        # Declare params with UNet's exact names/shapes, then assemble the
+        # prepared dict for the packed forward.
+        p = {}
+
+        def declare_conv(name, ci, co, ksz=3):
+            p[f"{name}/w"] = hk.param(
+                f"{name}/w", (ksz, ksz, ci, co), init.default_weight
+            )
+            p[f"{name}/b"] = hk.param(f"{name}/b", (co,), init.zeros)
+
+        c = cin
+        for lvl in range(L):
+            width = k * (2**lvl)
+            declare_conv(f"conv{lvl + 1}_1", c, width)
+            declare_conv(f"conv{lvl + 1}_2", width, width)
+            c = width
+        declare_conv(f"conv{L + 1}_1", c, k * (2**L))
+        declare_conv(f"conv{L + 1}_2", k * (2**L), k * (2**L))
+        c = k * (2**L)
+        for i, lvl in enumerate(reversed(range(L))):
+            width = k * (2**lvl)
+            declare_conv(f"upconv{i + 1}", c, width, ksz=2)
+            declare_conv(f"conv{L + 2 + i}_1", 2 * width, width)
+            declare_conv(f"conv{L + 2 + i}_2", width, width)
+            c = width
+        declare_conv("output", c, nc, ksz=1)
+
+        fast = UNetS2DInference(self.cfg, self.levels)
+        pl_ = fast.packed_levels
+        packed_names = []
+        for lvl in range(pl_):
+            packed_names += [f"conv{lvl + 1}_1", f"conv{lvl + 1}_2"]
+        for i, lvl in enumerate(reversed(range(L))):
+            if lvl < pl_:
+                packed_names += [f"conv{L + 2 + i}_1", f"conv{L + 2 + i}_2"]
+                up = f"upconv{i + 1}"
+                w = p[f"{up}/w"]
+                ci, co = w.shape[2], w.shape[3]
+                p[f"{up}/wm"] = jnp.transpose(w, (2, 0, 1, 3)).reshape(
+                    ci, 4 * co
+                )
+        for name in packed_names:
+            p[f"{name}/w2"] = pack_conv3_weight_jnp(p[f"{name}/w"])
+        return fast.apply(p, x)

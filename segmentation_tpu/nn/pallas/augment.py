@@ -8,8 +8,12 @@ the /255 normalization (and optional horizontal flip) on the VPU and writes
 the float block. Saves (H·W − crop²)/H·W of the HBM read traffic vs the XLA
 dynamic-slice formulation and fuses three pipeline stages into one kernel.
 
-Falls back transparently to segmentation_tpu.data.augment.device_augment on
-non-TPU backends.
+Mosaic limitation (current libtpu): HBM memref slices must tile-align the
+minor dims — W offsets to 8 (handled: 8-px crop granularity) and the C
+extent to 128, which 3-channel images cannot satisfy. On such inputs the
+compiled path raises; use data.augment.device_augment (XLA) for small-C
+batches, or this kernel for lane-aligned feature maps. Interpret-mode tests
+lock the semantics either way.
 """
 
 from __future__ import annotations

@@ -80,3 +80,49 @@ def test_s2d_unet_parity_shallow():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-3
     )
+
+
+def test_unet_s2d_trainable_checkpoint_compatible(tmp_path):
+    """UNetS2D declares UNet's params (same names/shapes), trains, and its
+    state restores into a standard UNet trainer."""
+    from segmentation_tpu.core.config import TrainConfig
+    from segmentation_tpu.data.synthetic import SyntheticSegmentation
+    from segmentation_tpu.models.base import SegmentationTrainer
+    from segmentation_tpu.models.unet_fast import UNetS2D
+
+    hw = (60, 60)
+    mcfg = ModelConfig(n_classes=2, input_dims=hw, n_kernels=4)
+    tcfg = TrainConfig(save_dir=str(tmp_path), learning_rate=1e-3)
+    ds = SyntheticSegmentation(batch_size=8, hw=hw, seed=3)
+    tr = SegmentationTrainer(
+        UNetS2D(mcfg, levels=2), dataset=ds, model_cfg=mcfg, train_cfg=tcfg
+    )
+    first = tr.train_step()["seg_xentropy"]
+    for _ in range(15):
+        m = tr.train_step()
+    assert m["seg_xentropy"] < first
+    tr.snapshot()
+
+    from segmentation_tpu.models.unet import UNet
+
+    tr2 = SegmentationTrainer(
+        UNet(mcfg, levels=2), dataset=ds, model_cfg=mcfg, train_cfg=tcfg
+    )
+    tr2.load_snapshot = True
+    tr2._init_saver()
+    assert tr2.global_step == 16
+    np.testing.assert_allclose(
+        np.asarray(tr2.state.params["output/w"]),
+        np.asarray(tr.state.params["output/w"]),
+    )
+
+
+def test_pack_weight_jnp_matches_numpy():
+    from segmentation_tpu.models.unet_fast import pack_conv3_weight_jnp
+
+    w = np.random.default_rng(0).normal(size=(3, 3, 5, 7)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(pack_conv3_weight_jnp(jnp.asarray(w))),
+        pack_conv3_weight(w),
+        atol=1e-6,
+    )
