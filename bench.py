@@ -99,8 +99,12 @@ def main():
     try:
         import optax
 
+        from segmentation_tpu.models.unet_fast import UNetS2D
+
+        s2d_model = UNetS2D(mcfg)
+        tfwd = hk.transform(lambda x: s2d_model(x))
         opt = optax.adam(1e-4)
-        tparams, tstate = fwd.init(
+        tparams, tstate = tfwd.init(
             jax.random.PRNGKey(1),
             jnp.zeros((1, 512, 512, 3), jnp.bfloat16), train=True,
         )
@@ -119,7 +123,7 @@ def main():
                 x, y = xy
 
                 def loss_fn(p):
-                    logits, new_ms = fwd.apply(
+                    logits, new_ms = tfwd.apply(
                         p, tstate, jax.random.PRNGKey(0), x, train=True
                     )
                     yy = center_crop_or_pad(

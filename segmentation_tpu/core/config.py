@@ -120,6 +120,10 @@ class TrainConfig:
     # Precision policy (new, TPU-first)
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # Rematerialize the forward in the backward pass (jax.checkpoint):
+    # trades ~30% step FLOPs for activation memory — enables much larger
+    # batch×resolution products per chip.
+    remat: bool = False
     # Parallelism (new)
     data_axis: Optional[str] = "data"
     spatial_axes: Tuple[str, str] = ("sph", "spw")

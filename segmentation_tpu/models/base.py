@@ -184,6 +184,22 @@ class SegmentationTrainer(Trainer):
         self.in_out_ratio = bool(getattr(model, "IN_OUT_RATIO", False))
 
         self._fwd = hk.transform(lambda x: model(x))
+        if tcfg.remat:
+            # Rematerialized apply for the training path (activations
+            # recomputed in backward; jax.checkpoint over the whole model).
+            orig_apply = self._fwd.apply
+            remat_apply = jax.checkpoint(
+                lambda params, st, rng, x: orig_apply(
+                    params, st, rng, x, train=True
+                ),
+            )
+            self._fwd = self._fwd._replace(
+                apply=lambda params, st, rng, x, train=False: (
+                    remat_apply(params, st, rng, x)
+                    if train
+                    else orig_apply(params, st, rng, x, train=False)
+                )
+            )
         if self.adversarial and self._adversary_net is None:
             self._adversary_net = LucAdversary()
         if self.adversarial:

@@ -131,3 +131,28 @@ def test_determinism_same_seed(tmp_path):
     m1 = t1.train_step()
     m2 = t2.train_step()
     assert m1["seg_xentropy"] == pytest.approx(m2["seg_xentropy"], abs=1e-6)
+
+
+def test_remat_training_matches(tmp_path):
+    """remat=True must not change the training trajectory (same grads)."""
+    from segmentation_tpu.core.config import ModelConfig, TrainConfig
+    from segmentation_tpu.data.synthetic import SyntheticSegmentation
+    from segmentation_tpu.models.base import SegmentationTrainer
+    from segmentation_tpu.models.unet import UNet
+
+    hw = (60, 60)
+    mcfg = ModelConfig(n_classes=2, input_dims=hw, n_kernels=4)
+    results = []
+    for remat in (False, True):
+        tcfg = TrainConfig(
+            save_dir=str(tmp_path / f"r{remat}"), learning_rate=1e-3,
+            seed=11, remat=remat,
+        )
+        ds = SyntheticSegmentation(batch_size=8, hw=hw, seed=11)
+        tr = SegmentationTrainer(
+            UNet(mcfg, levels=2), dataset=ds, model_cfg=mcfg, train_cfg=tcfg
+        )
+        for _ in range(3):
+            m = tr.train_step()
+        results.append(m["seg_xentropy"])
+    assert results[0] == pytest.approx(results[1], abs=1e-5)
