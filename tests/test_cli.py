@@ -1,0 +1,68 @@
+"""CLI smoke tests on synthetic data (the L5 driver layer, SURVEY §1)."""
+
+import numpy as np
+import pytest
+
+from segmentation_tpu.cli.main import build_trainer, main
+
+
+class Args:
+    """Minimal args namespace mirroring the CLI defaults."""
+
+    def __init__(self, **kw):
+        defaults = dict(
+            model="unet", n_classes=2, input_channel=3, n_kernels=4,
+            crop_size=60, batch_size=4, learning_rate=1e-3, fcn_type="8s",
+            encoder_type="small", zed_dim=16, label_dim=None,
+            variational=False, bayesian=False, autoencoder=False,
+            adversarial_training=False, save_dir=None, log_dir=None,
+            load_snapshot=False, load_snapshot_from=None, seed=0,
+            image_dir=None, mask_dir=None, image_ext="jpg", mask_ext="png",
+            capacity=64, min_holding=8, threads=2, data_seed=1,
+            augment_flip=False, mnist_dir=None,
+        )
+        defaults.update(kw)
+        for k, v in defaults.items():
+            setattr(self, k, v)
+
+
+@pytest.mark.parametrize(
+    "model,kw",
+    [
+        ("unet", {"crop_size": 204, "batch_size": 2}),
+        ("fcn", {"crop_size": 64}),
+        ("deconvolution", {"crop_size": 96}),
+        ("template", {"crop_size": 32}),
+        ("autoencoder", {"crop_size": 28, "input_channel": 1}),
+        ("gan", {"crop_size": 28, "input_channel": 1, "batch_size": 8}),
+        ("infogan", {"crop_size": 28, "input_channel": 1, "batch_size": 8}),
+    ],
+)
+def test_build_trainer_and_step(tmp_path, model, kw):
+    args = Args(model=model, save_dir=str(tmp_path), **kw)
+    tr = build_trainer(args)
+    m = tr.train_step()
+    assert all(np.isfinite(v) for v in m.values()), m
+
+
+def test_cli_unet_uses_s2d_for_even_inputs(tmp_path):
+    from segmentation_tpu.models.unet_fast import UNetS2D
+
+    tr = build_trainer(
+        Args(model="unet", crop_size=204, batch_size=2,
+             save_dir=str(tmp_path))
+    )
+    tr2 = None
+    assert isinstance(tr.model, UNetS2D)
+
+
+def test_cli_train_command(tmp_path):
+    rc = main([
+        "train", "--model", "template", "--crop-size", "32",
+        "--batch-size", "4", "--n-kernels", "2", "--epochs", "1",
+        "--iters", "3", "--test-every", "2", "--save-dir", str(tmp_path),
+    ])
+    assert rc is None
+    from segmentation_tpu.utils import checkpoint as ckpt
+
+    assert ckpt.latest_checkpoint(str(tmp_path)) is not None
