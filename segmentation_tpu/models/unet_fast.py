@@ -139,11 +139,17 @@ def packed_pool(xp):
     return jnp.max(xp, axis=3)
 
 
+# Strided (d::2) slot ops avoid transposes but lower to expensive gathers on
+# some TPU generations; the transpose formulation is the measured default.
+STRIDED_SLOT_OPS = False
+
+
 def packed_pool_repack(xp):
     """Fused pool + re-pack for packed→packed level transitions:
-    out[i, j, (d,e), c] = max_s xp[2i+d, 2j+e, s, c] via strided slot
-    slices — no unpacked intermediate, no transpose."""
+    out[i, j, (d,e), c] = max_s xp[2i+d, 2j+e, s, c]."""
     pooled = jnp.max(xp, axis=3)  # [N, Hp, Wp, C] on the pooled grid
+    if not STRIDED_SLOT_OPS:
+        return pack2(pooled)
     slots = [
         pooled[:, d::2, e::2, :] for d in range(2) for e in range(2)
     ]
@@ -170,16 +176,21 @@ def packed_center_crop(skip_p, target_hw, off):
         return skip_p[
             :, oh // 2 : oh // 2 + th // 2, ow // 2 : ow // 2 + tw // 2
         ]
-    slots = []
-    for d in range(2):
-        for e in range(2):
-            src_slot = (2 * ((oh + d) % 2) + ((ow + e) % 2))
-            ro = (oh + d) // 2
-            co = (ow + e) // 2
-            slots.append(
-                skip_p[:, ro : ro + th // 2, co : co + tw // 2, src_slot, :]
-            )
-    return jnp.stack(slots, axis=3)
+    if STRIDED_SLOT_OPS:
+        slots = []
+        for d in range(2):
+            for e in range(2):
+                src_slot = (2 * ((oh + d) % 2) + ((ow + e) % 2))
+                ro = (oh + d) // 2
+                co = (ow + e) // 2
+                slots.append(
+                    skip_p[:, ro : ro + th // 2, co : co + tw // 2,
+                           src_slot, :]
+                )
+        return jnp.stack(slots, axis=3)
+    x = unpack2(skip_p)
+    x = x[:, oh : oh + th, ow : ow + tw, :]
+    return pack2(x)
 
 
 # ------------------------------------------------------------------ forward
