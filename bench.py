@@ -32,7 +32,10 @@ def main():
     from segmentation_tpu.models.unet_fast import UNetS2DInference
     from segmentation_tpu.nn import module as hk
 
-    details = {"device": str(jax.devices()[0])}
+    details = {
+        "device": str(jax.devices()[0]),
+        "host_cores": os.cpu_count(),  # pipeline MB/s scales with this
+    }
 
     mcfg = ModelConfig(
         name="unet", n_classes=2, input_dims=(512, 512), n_kernels=32
