@@ -115,7 +115,7 @@ def main():
         from segmentation_tpu.nn.shapes import center_crop_or_pad
         from segmentation_tpu.training import losses as L
 
-        Bt = 16
+        Bt = 32
 
         @jax.jit
         def train_many(carry, xs, ys):
@@ -162,6 +162,47 @@ def main():
         details["unet512_train_images_per_sec"] = round(4 * Bt / dt, 1)
     except Exception as e:
         details["unet512_train_images_per_sec"] = f"failed: {e}"
+
+    # --- Bayesian MC-dropout 1024² tiles (BASELINE.md config #5) ----------
+    try:
+        bcfg = ModelConfig(
+            name="unet", n_classes=2, input_dims=(1024, 1024),
+            n_kernels=32, bayesian=True,
+        )
+        bmodel = UNet(bcfg)
+        bfwd = hk.transform(lambda x: bmodel(x))
+        bparams, bstate = bfwd.init(
+            jax.random.PRNGKey(2),
+            jnp.zeros((1, 1024, 1024, 3), jnp.bfloat16), train=False,
+        )
+        bparams = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p, bparams,
+        )
+        S, Bmc = 8, 2
+
+        @jax.jit
+        def mc(x, rng):
+            keys = jax.random.split(rng, S)
+
+            def one(k):
+                logits, _ = bfwd.apply(bparams, bstate, k, x, train=False)
+                return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+            samples = jax.lax.map(one, keys)
+            return jnp.mean(samples, 0).sum() + jnp.var(samples, 0).sum()
+
+        xb = jnp.asarray(
+            np.random.default_rng(3).random((Bmc, 1024, 1024, 3)),
+            jnp.bfloat16,
+        )
+        float(mc(xb, jax.random.PRNGKey(4)))
+        t0 = time.perf_counter()
+        float(mc(xb, jax.random.PRNGKey(5)))
+        dt = time.perf_counter() - t0
+        details["bayesian_mc8_1024_tiles_per_sec"] = round(Bmc / dt, 2)
+    except Exception as e:
+        details["bayesian_mc8_1024_tiles_per_sec"] = f"failed: {e}"
 
     # --- input-pipeline bandwidth (BASELINE.md metric: MB/s per host) -----
     try:
