@@ -98,6 +98,42 @@ def main():
     details["unet512_infer_sweep"] = sweep
     details["unet512_infer_images_per_sec"] = round(best, 1)
 
+    # --- int8 quantized serving path (not the headline: post-training
+    # quantization trades exact parity — ~99% mask agreement — for speed)
+    try:
+        from segmentation_tpu.models.unet_int8 import UNetS2DInt8
+
+        q = UNetS2DInt8(mcfg)
+        calib = [
+            np.random.default_rng(7).random((4, 512, 512, 3)).astype(
+                np.float32
+            )
+        ]
+        prep_q = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p,
+            q.prepare(params, calib_batches=calib),
+        )
+
+        @jax.jit
+        def infer_q(xs):
+            def one(x):
+                return jnp.argmax(q.apply(prep_q, x), -1).astype(jnp.uint8)
+
+            return jax.lax.map(one, xs).sum()
+
+        xq = jnp.asarray(
+            np.random.default_rng(0).random((K, 64, 512, 512, 3)),
+            jnp.bfloat16,
+        )
+        float(infer_q(xq))
+        t0 = time.perf_counter()
+        float(infer_q(xq))
+        dt = time.perf_counter() - t0
+        details["unet512_int8_images_per_sec"] = round(K * 64 / dt, 1)
+    except Exception as e:
+        details["unet512_int8_images_per_sec"] = f"failed: {e}"
+
     # --- train-step throughput (secondary metric for BENCH_DETAILS) -------
     try:
         import optax
