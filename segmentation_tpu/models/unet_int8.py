@@ -56,6 +56,20 @@ def _quant_act(x: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(xq, -127, 127).astype(jnp.int8)
 
 
+def int8_conv(x, wq, w_scale, act_scale, b, relu=True):
+    """Standard-layout int8 3×3 VALID conv with float rescale epilogue."""
+    xq = _quant_act(x, act_scale)
+    yi = lax.conv_general_dilated(
+        xq, wq, (1, 1), "VALID", dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    )
+    y = yi.astype(jnp.float32) * (act_scale * w_scale)
+    y = y + b.astype(jnp.float32)
+    if relu:
+        y = jax.nn.relu(y)
+    return y.astype(x.dtype)
+
+
 def int8_packed_conv(xp, wq, w_scale, act_scale, b, relu=True):
     """Packed-space conv in int8: [N,Hp,Wp,4,C] bf16 → quantize →
     int8 conv (int32 accumulate) → rescale → bias+relu → bf16."""
@@ -79,31 +93,48 @@ class UNetS2DInt8(UNetS2DInference):
     """Quantized variant: packed conv sites run int8; everything else
     inherits the s2d bf16 path."""
 
+    def _std_conv_names(self):
+        """The non-packed 3×3 conv sites (deeper encoder/decoder levels +
+        bottleneck) — also worth int8 (C ≥ 128 there)."""
+        L, pl_ = self.levels, self.packed_levels
+        names = []
+        for lvl in range(pl_, L):
+            names += [f"conv{lvl + 1}_1", f"conv{lvl + 1}_2"]
+        names += [f"conv{L + 1}_1", f"conv{L + 1}_2"]
+        for i, lvl in enumerate(reversed(range(L))):
+            if lvl >= pl_:
+                names += [f"conv{L + 2 + i}_1", f"conv{L + 2 + i}_2"]
+        return names
+
     def prepare(self, params: Dict[str, jnp.ndarray],
                 calib_batches: Sequence[jnp.ndarray] = ()):
         prepared = super().prepare(params)
-        # Quantize the packed kernels
         packed = [k[: -len("/w2")] for k in prepared if k.endswith("/w2")]
         for name in packed:
             wq, ws = _quantize_weight(np.asarray(prepared[f"{name}/w2"]))
+            prepared[f"{name}/wq"] = jnp.asarray(wq)
+            prepared[f"{name}/wscale"] = jnp.asarray(ws)
+        std = self._std_conv_names()
+        for name in std:
+            wq, ws = _quantize_weight(np.asarray(prepared[f"{name}/w"]))
             prepared[f"{name}/wq"] = jnp.asarray(wq)
             prepared[f"{name}/wscale"] = jnp.asarray(ws)
         self._packed_names = sorted(packed)
 
         # Calibrate activation scales by running the float path and
         # recording abs-max at each quantized site.
-        scales = {name: 1.0 for name in packed}
+        all_sites = packed + std
+        scales = {name: 1.0 for name in all_sites}
         if len(calib_batches):
-            records: Dict[str, float] = {name: 0.0 for name in packed}
+            records: Dict[str, float] = {name: 0.0 for name in all_sites}
             self._calibrating = records
             for x in calib_batches:
                 # run eagerly through THIS class's apply so the hook records
                 self.apply(prepared, jnp.asarray(x))
             self._calibrating = None
-            for name in packed:
-                amax = records[name]
-                scales[name] = max(amax, 1e-6) / 127.0
-        for name in packed:
+            for name in all_sites:
+                scales[name] = max(records[name], 1e-6) / 127.0
+        for name in all_sites:
             prepared[f"{name}/ascale"] = jnp.asarray(
                 np.float32(scales[name])
             )
@@ -133,12 +164,23 @@ class UNetS2DInt8(UNetS2DInference):
         return packed_conv3(xp, p[f"{name}/w2"], p[f"{name}/b"])
 
     def apply(self, prepared, x):
-        # Re-implement the forward with the quantized packed-conv hook.
+        # Re-implement the forward with quantized conv hooks.
         k = self.cfg.n_kernels
         L, pl_ = self.levels, self.packed_levels
         p = prepared
+        std_sites = set(self._std_conv_names())
 
         def conv(h, name, relu=True):
+            if name in std_sites and self._calibrating is not None:
+                self._calibrating[name] = max(
+                    self._calibrating.get(name, 0.0),
+                    float(jnp.max(jnp.abs(h.astype(jnp.float32)))),
+                )
+            elif name in std_sites and f"{name}/wq" in p:
+                return int8_conv(
+                    h, p[f"{name}/wq"], p[f"{name}/wscale"],
+                    p[f"{name}/ascale"], p[f"{name}/b"], relu,
+                )
             y = lax.conv_general_dilated(
                 h, p[f"{name}/w"].astype(h.dtype), (1, 1), "VALID",
                 dimension_numbers=_DN,
