@@ -15,10 +15,8 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 import time
-from typing import Optional
 
 
 def _add_common(p: argparse.ArgumentParser):

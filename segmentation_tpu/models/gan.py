@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from segmentation_tpu.core.config import ModelConfig, TrainConfig
+from segmentation_tpu.core.config import ModelConfig
 from segmentation_tpu.nn import (
     batch_norm,
     conv2d,

@@ -15,15 +15,13 @@ applied to both players (λ = 1).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
 from segmentation_tpu.core.config import ModelConfig
-from segmentation_tpu.models.base import TrainState, Trainer
+from segmentation_tpu.models.base import TrainState
 from segmentation_tpu.models.gan import GANTrainer, _bn_gan
 from segmentation_tpu.nn import conv2d, dense, flatten, lrelu
 from segmentation_tpu.nn import initializers as init

@@ -21,14 +21,13 @@ Usage:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from segmentation_tpu.core.config import ModelConfig
 from segmentation_tpu.models.unet_fast import (
     UNetS2DInference,
     deconv2_as_matmul,
