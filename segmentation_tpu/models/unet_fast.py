@@ -230,7 +230,10 @@ class UNetS2DInference:
             )
         return out
 
-    def apply(self, prepared: Dict[str, jnp.ndarray], x: jnp.ndarray):
+    def apply(self, prepared: Dict[str, jnp.ndarray], x: jnp.ndarray,
+              packed_out: bool = False):
+        """Forward to logits. With packed_out=True (and packed levels active)
+        returns the final decoder tensor still PACKED [N,hp,wp,4,C]."""
         k = self.cfg.n_kernels
         L, pl_ = self.levels, self.packed_levels
         p = prepared
@@ -280,7 +283,7 @@ class UNetS2DInference:
                 hp = jnp.concatenate([sk, hp], axis=-1)
                 hp = packed_conv3(hp, p[f"{c1}/w2"], p[f"{c1}/b"])
                 hp = packed_conv3(hp, p[f"{c2}/w2"], p[f"{c2}/b"])
-                h = unpack2(hp)
+                h = unpack2(hp) if not (packed_out and lvl == 0) else hp
             else:
                 h = lax.conv_transpose(
                     h, jnp.swapaxes(p[f"{up}/w"], 2, 3).astype(h.dtype),
@@ -297,11 +300,33 @@ class UNetS2DInference:
                 h = conv(h, c1)
                 h = conv(h, c2)
 
+        if packed_out and h.ndim == 5:
+            return h
         logits = lax.conv_general_dilated(
             h, p["output/w"].astype(h.dtype), (1, 1), "VALID",
             dimension_numbers=_DN,
         )
         return logits + p["output/b"].astype(logits.dtype)
+
+    def apply_argmax(self, prepared: Dict[str, jnp.ndarray], x: jnp.ndarray):
+        """Class-map serving path: run the 1×1 head and the argmax while the
+        decoder output is still PACKED, then unpack only the uint8 mask —
+        the final layout transpose moves bytes of uint8 instead of bf16
+        activations. Identical to argmax(apply(...), -1)."""
+        p = prepared
+        out = self.apply(prepared, x, packed_out=True)
+        if out.ndim != 5:  # no packed levels: plain path
+            return jnp.argmax(out, axis=-1).astype(jnp.uint8)
+        hp = out  # [N, hp, wp, 4, C]
+        w = p["output/w"][0, 0].astype(hp.dtype)  # [C, nc]
+        logits_p = jnp.einsum("nijsc,ck->nijsk", hp, w) + p[
+            "output/b"
+        ].astype(hp.dtype)
+        mask_p = jnp.argmax(logits_p, axis=-1).astype(jnp.uint8)
+        # unpack the [N, hp, wp, 4] mask: cheap uint8 transpose
+        n, hp_, wp_, s4 = mask_p.shape
+        m = _reshape(mask_p, (n, hp_, wp_, 2, 2)).transpose(0, 1, 3, 2, 4)
+        return _reshape(m, (n, hp_ * 2, wp_ * 2))
 
 
 @dataclasses.dataclass

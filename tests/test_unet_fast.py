@@ -126,3 +126,21 @@ def test_pack_weight_jnp_matches_numpy():
         pack_conv3_weight(w),
         atol=1e-6,
     )
+
+
+def test_apply_argmax_packed_head_matches():
+    hw = (204, 204)
+    mcfg = ModelConfig(name="unet", n_classes=3, input_dims=hw, n_kernels=4)
+    model = UNet(mcfg, levels=4)
+    fwd = hk.transform(lambda x: model(x))
+    x = jnp.asarray(
+        np.random.default_rng(4).normal(0.5, 0.2, (1, *hw, 3)).astype(
+            np.float32
+        )
+    )
+    params, state = fwd.init(jax.random.PRNGKey(0), x, train=False)
+    fast = UNetS2DInference(mcfg, levels=4)
+    prepared = fast.prepare(params)
+    ref = np.asarray(jnp.argmax(fast.apply(prepared, x), -1))
+    got = np.asarray(fast.apply_argmax(prepared, x))
+    np.testing.assert_array_equal(got, ref)
