@@ -67,8 +67,8 @@ def main():
     @jax.jit
     def infer_many(xs):  # [K, B, 512, 512, 3] -> checksum
         def one(x):
-            logits = fast.apply(prepared, x)
-            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+            # packed-head argmax: identical mask output, less layout traffic
+            return fast.apply_argmax(prepared, x)
 
         return jax.lax.map(one, xs).sum()
 
@@ -118,7 +118,7 @@ def main():
         @jax.jit
         def infer_q(xs):
             def one(x):
-                return jnp.argmax(q.apply(prep_q, x), -1).astype(jnp.uint8)
+                return q.apply_argmax(prep_q, x)
 
             return jax.lax.map(one, xs).sum()
 

@@ -162,7 +162,7 @@ class UNetS2DInt8(UNetS2DInference):
 
         return packed_conv3(xp, p[f"{name}/w2"], p[f"{name}/b"])
 
-    def apply(self, prepared, x):
+    def apply(self, prepared, x, packed_out: bool = False):
         # Re-implement the forward with quantized conv hooks.
         k = self.cfg.n_kernels
         L, pl_ = self.levels, self.packed_levels
@@ -223,7 +223,7 @@ class UNetS2DInt8(UNetS2DInference):
                 hp = jnp.concatenate([sk, hp], axis=-1)
                 hp = self._packed_conv(p, c1, hp)
                 hp = self._packed_conv(p, c2, hp)
-                h = unpack2(hp)
+                h = unpack2(hp) if not (packed_out and lvl == 0) else hp
             else:
                 h = lax.conv_transpose(
                     h, jnp.swapaxes(p[f"{up}/w"], 2, 3).astype(h.dtype),
@@ -240,6 +240,8 @@ class UNetS2DInt8(UNetS2DInference):
                 h = conv(h, c1)
                 h = conv(h, c2)
 
+        if packed_out and h.ndim == 5:
+            return h
         logits = lax.conv_general_dilated(
             h, p["output/w"].astype(h.dtype), (1, 1), "VALID",
             dimension_numbers=_DN,

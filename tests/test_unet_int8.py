@@ -53,3 +53,21 @@ def test_int8_weights_are_int8():
     assert wq_keys
     for k in wq_keys:
         assert prepared[k].dtype == jnp.int8
+
+
+def test_int8_apply_argmax_matches_apply():
+    hw = (204, 204)
+    mcfg = ModelConfig(n_classes=2, input_dims=hw, n_kernels=4)
+    model = UNet(mcfg, levels=4)
+    fwd = hk.transform(lambda x: model(x))
+    x = jnp.asarray(
+        np.random.default_rng(9).normal(0.5, 0.2, (1, *hw, 3)).astype(
+            np.float32
+        )
+    )
+    params, _ = fwd.init(jax.random.PRNGKey(0), x, train=False)
+    q = UNetS2DInt8(mcfg, levels=4)
+    prepared = q.prepare(params, calib_batches=[x])
+    ref = np.asarray(jnp.argmax(q.apply(prepared, x), -1))
+    got = np.asarray(q.apply_argmax(prepared, x))
+    np.testing.assert_array_equal(got, ref)
