@@ -132,3 +132,25 @@ def test_adversarial_autoencoder_trains(tmp_path):
     for _ in range(3):
         m = tr.train_step()
     assert all(np.isfinite(v) for v in m.values())
+
+
+def test_multiscale_adversarial_autoencoder_trains(tmp_path):
+    """multiscale encoder + AAE mode (Luc adversary on reconstructions),
+    reference models/autoencoder.py:388-465 + :49."""
+    hw = (96, 96)
+    mcfg = ModelConfig(
+        name="autoencoder", input_dims=hw, n_kernels=4, zed_dim=64,
+        encoder_type="multiscale", autoencoder=True,
+        adversarial_training=True,
+    )
+    tcfg = TrainConfig(save_dir=str(tmp_path), learning_rate=1e-3)
+    ds = SyntheticImages(batch_size=4, hw=hw, channels=3, seed=8)
+    tr = AutoencoderTrainer(
+        Autoencoder(mcfg), dataset=ds, model_cfg=mcfg, train_cfg=tcfg
+    )
+    m = tr.train_step()
+    assert {"adv_loss", "seg_loss"} <= set(m)
+    m = tr.train_step()
+    assert all(np.isfinite(v) for v in m.values())
+    d = tr.dream()
+    assert d.shape == (4, 96, 96, 3)
