@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--mc-samples", type=int, default=16)
     ap.add_argument("--save-dir", default="./snapshot/unet")
     ap.add_argument("--out-dir", default="./pred")
+    ap.add_argument("--spatial", action="store_true",
+                    help="shard H/W over the device mesh with halo exchange "
+                         "(SAME-padded models: fcn/deconvolution)")
+    ap.add_argument("--halo", type=int, default=32)
     args = ap.parse_args()
 
     from segmentation_tpu.core.config import ModelConfig, TrainConfig
@@ -77,7 +81,44 @@ def main():
             (args.batch_size, *hw, 3), dtype=np.float32
         )
 
-    mean, var, output = trainer.infer_bayesian(imgs, args.mc_samples)
+    if args.spatial and args.model in ("fcn", "deconvolution"):
+        # Giant-tile path: H/W sharded over ('sph','spw') with ppermute halo
+        # exchange (segmentation_tpu.parallel.spatial).
+        import jax
+        import jax.numpy as jnp
+
+        from segmentation_tpu.core.mesh import MeshSpec, make_mesh
+        from segmentation_tpu.parallel import spatial_infer_bayesian
+
+        n_dev = len(jax.devices())
+        sph = 2 if n_dev % 2 == 0 and n_dev > 1 else 1
+        spw = max(1, n_dev // sph) if n_dev % max(1, sph) == 0 else 1
+        mesh = make_mesh(MeshSpec(data=n_dev // (sph * spw), sph=sph,
+                                  spw=spw))
+
+        def apply_fn(params, model_state, rng, x):
+            out, _ = trainer._fwd.apply(
+                params, model_state, rng,
+                x.astype(trainer.policy.compute_dtype), train=False,
+            )
+            return out[0] if isinstance(out, tuple) else out
+
+        halo = min(
+            args.halo,
+            imgs.shape[1] // max(1, sph),
+            imgs.shape[2] // max(1, spw),
+        )
+        if halo != args.halo:
+            print(f"halo clamped to {halo} (shard size limit)")
+        run = spatial_infer_bayesian(
+            apply_fn, trainer.state.params, trainer.state.model_state,
+            mesh, halo=halo, n_samples=args.mc_samples,
+        )
+        mean, var = run(jax.random.PRNGKey(0), jnp.asarray(imgs))
+        mean, var = np.asarray(mean), np.asarray(var)
+        output = np.argmax(mean, axis=-1)[..., None].astype(np.float32)
+    else:
+        mean, var, output = trainer.infer_bayesian(imgs, args.mc_samples)
     os.makedirs(args.out_dir, exist_ok=True)
     try:
         import cv2

@@ -59,6 +59,11 @@ def _reshape(x, shape):
 def pack2(x: jnp.ndarray) -> jnp.ndarray:
     """[N, H, W, C] → [N, H/2, W/2, 4, C]; slot index s = 2*dy + dx."""
     n, h, w, c = x.shape
+    if h % 2 or w % 2:
+        raise ValueError(
+            f"space-to-depth packing needs even H/W, got {h}x{w}; use "
+            "models.unet.UNet for odd input sizes"
+        )
     x = _reshape(x, (n, h // 2, 2, w // 2, 2, c))
     return _reshape(
         x.transpose(0, 1, 3, 2, 4, 5), (n, h // 2, w // 2, 4, c)

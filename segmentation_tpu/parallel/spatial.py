@@ -31,6 +31,11 @@ def _exchange_1d(x: jnp.ndarray, halo: int, axis_name: str, dim: int):
     Ring ppermute over ``axis_name``; the ends reflect-pad instead of
     wrapping (an image has no periodic boundary)."""
     n = jax.lax.axis_size(axis_name)
+    if n > 1 and x.shape[dim] < halo:
+        raise ValueError(
+            f"halo {halo} exceeds the {x.shape[dim]}-px shard along "
+            f"'{axis_name}' — use a smaller halo or fewer shards"
+        )
     if n == 1 or halo == 0:
         pad = [(0, 0)] * x.ndim
         pad[dim] = (halo, halo)
@@ -128,35 +133,40 @@ def spatial_infer_bayesian(
     """
 
     in_spec = P(None, *axis_names, None)
+    # Params/state ride through shard_map as replicated operands (closing
+    # over explicitly-sharded arrays inside shard_map is unsupported).
+    rep = lambda tree: jax.tree_util.tree_map(lambda _: P(), tree)  # noqa: E731
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), in_spec),
+        in_specs=(P(), in_spec, rep(params), rep(model_state)),
         out_specs=in_spec,
         check_vma=False,
     )
-    def one_sample(rng, x):
+    def one_sample(rng, x, params_, model_state_):
         # decorrelate dropout masks across shards
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_names[0]))
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_names[1]))
         x_ext = halo_exchange_2d(x, halo, axis_names)
-        logits = apply_fn(params, model_state, rng, x_ext)
+        logits = apply_fn(params_, model_state_, rng, x_ext)
         probs = jax.nn.sigmoid(logits.astype(jnp.float32))
         if halo:
             probs = probs[:, halo:-halo, halo:-halo, :]
         return probs
 
     @jax.jit
-    def run(rng, x):
+    def run(rng, x, params_, model_state_):
         keys = jax.random.split(rng, n_samples)
-        samples = jax.lax.map(lambda k: one_sample(k, x), keys)
+        samples = jax.lax.map(
+            lambda k: one_sample(k, x, params_, model_state_), keys
+        )
         mean = jnp.mean(samples, axis=0)
         var = jnp.var(samples, axis=0)
         return mean, var
 
     def call(rng, x):
         x = jax.device_put(x, NamedSharding(mesh, in_spec))
-        return run(rng, x)
+        return run(rng, x, params, model_state)
 
     return call
