@@ -121,9 +121,10 @@ class UNetS2DInt8(UNetS2DInference):
         self._packed_names = sorted(packed)
 
         # Calibrate activation scales by running the float path and
-        # recording abs-max at each quantized site.
+        # recording abs-max at each quantized site. WITHOUT calibration
+        # batches no activation scales are written and every site falls back
+        # to the float path (uncalibrated int8 would be garbage).
         all_sites = packed + std
-        scales = {name: 1.0 for name in all_sites}
         if len(calib_batches):
             records: Dict[str, float] = {name: 0.0 for name in all_sites}
             self._calibrating = records
@@ -132,11 +133,9 @@ class UNetS2DInt8(UNetS2DInference):
                 self.apply(prepared, jnp.asarray(x))
             self._calibrating = None
             for name in all_sites:
-                scales[name] = max(records[name], 1e-6) / 127.0
-        for name in all_sites:
-            prepared[f"{name}/ascale"] = jnp.asarray(
-                np.float32(scales[name])
-            )
+                prepared[f"{name}/ascale"] = jnp.asarray(
+                    np.float32(max(records[name], 1e-6) / 127.0)
+                )
         return prepared
 
     # Hook: UNetS2DInference.apply calls packed_conv3 via this indirection.
@@ -153,7 +152,7 @@ class UNetS2DInt8(UNetS2DInference):
             from segmentation_tpu.models.unet_fast import packed_conv3
 
             return packed_conv3(xp, p[f"{name}/w2"], p[f"{name}/b"])
-        if f"{name}/wq" in p:
+        if f"{name}/wq" in p and f"{name}/ascale" in p:
             return int8_packed_conv(
                 xp, p[f"{name}/wq"], p[f"{name}/wscale"],
                 p[f"{name}/ascale"], p[f"{name}/b"],
@@ -175,7 +174,8 @@ class UNetS2DInt8(UNetS2DInference):
                     self._calibrating.get(name, 0.0),
                     float(jnp.max(jnp.abs(h.astype(jnp.float32)))),
                 )
-            elif name in std_sites and f"{name}/wq" in p:
+            elif (name in std_sites and f"{name}/wq" in p
+                  and f"{name}/ascale" in p):
                 return int8_conv(
                     h, p[f"{name}/wq"], p[f"{name}/wscale"],
                     p[f"{name}/ascale"], p[f"{name}/b"], relu,

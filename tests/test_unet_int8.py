@@ -71,3 +71,27 @@ def test_int8_apply_argmax_matches_apply():
     ref = np.asarray(jnp.argmax(q.apply(prepared, x), -1))
     got = np.asarray(q.apply_argmax(prepared, x))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_uncalibrated_prepare_falls_back_to_float():
+    """prepare() without calibration batches must NOT quantize activations —
+    the forward equals the float s2d path exactly."""
+    from segmentation_tpu.models.unet_fast import UNetS2DInference
+
+    hw = (60, 60)
+    mcfg = ModelConfig(n_classes=2, input_dims=hw, n_kernels=4)
+    model = UNet(mcfg, levels=2)
+    fwd = hk.transform(lambda x: model(x))
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(0.5, 0.2, (1, *hw, 3)).astype(
+            np.float32
+        )
+    )
+    params, _ = fwd.init(jax.random.PRNGKey(0), x, train=False)
+    q = UNetS2DInt8(mcfg, levels=2)
+    ref = UNetS2DInference(mcfg, levels=2)
+    np.testing.assert_allclose(
+        np.asarray(q.apply(q.prepare(params), x)),
+        np.asarray(ref.apply(ref.prepare(params), x)),
+        atol=1e-5,
+    )
