@@ -228,6 +228,19 @@ class ImageMaskDataSet:
                 f"{len(image_names)} images vs {len(mask_names)} masks — "
                 "sorted-glob pairing requires equal counts"
             )
+        # pairing sanity: warn when sorted stems diverge (the reference
+        # paired purely by sort order and could silently mis-pair)
+        mismatched = sum(
+            1
+            for a, b in zip(image_names, mask_names)
+            if os.path.splitext(os.path.basename(a))[0]
+            != os.path.splitext(os.path.basename(b))[0]
+        )
+        if mismatched:
+            print(
+                f"[data] WARNING: {mismatched}/{len(image_names)} image/mask "
+                "stems differ — verify the sorted-glob pairing is intended"
+            )
         self.image_names = image_names
         self.mask_names = mask_names
         self.batch_size = batch_size

@@ -157,6 +157,13 @@ class Trainer:
     def _replicate(self, tree):
         return jax.device_put(tree, mesh_lib.replicated(self.mesh))
 
+    def write_summary(self, values, step=None):
+        """Public summary hook (reference models/basemodel.py:465-473 API);
+        values is a dict of scalars — no graph recomputation happens."""
+        self.summary.scalars(
+            self.global_step if step is None else step, values, force=True
+        )
+
     def close(self):
         self.summary.close()
 
