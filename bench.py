@@ -152,7 +152,7 @@ def main():
         from segmentation_tpu.nn.shapes import center_crop_or_pad
         from segmentation_tpu.training import losses as L
 
-        Bt = 128
+        Bt = 64  # B=128 OOMs by ~6MB inside the full bench program
 
         @jax.jit
         def train_many(carry, xs, ys):
