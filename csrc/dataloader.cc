@@ -180,7 +180,13 @@ class Loader {
         ++next_serve_;
       }
       cv_space_.notify_all();
-      if (!s.ok) continue;  // decode-failure sentinel: skip, keep order
+      if (!s.ok) {  // decode-failure sentinel: skip, keep order
+        // If a full epoch of consecutive samples is sentinels, every image
+        // is undecodable/undersized — error out instead of spinning forever.
+        if (++consecutive_failures_ >= images_.size()) return -3;
+        continue;
+      }
+      consecutive_failures_ = 0;
       memcpy(image_out + size_t(b) * img_elems, s.image.data(),
              img_elems * sizeof(float));
       if (mask_out && !masks_.empty())
@@ -287,6 +293,7 @@ class Loader {
   bool stop_ = false;
   uint64_t next_claim_ = 0;   // next sample index a worker will decode
   uint64_t next_serve_ = 0;   // next sample index the consumer will emit
+  uint64_t consecutive_failures_ = 0;  // sentinel streak (consumer thread)
   std::map<uint64_t, Sample> ready_;
 
   std::mutex perm_mu_;

@@ -100,7 +100,12 @@ def _dataset(args, mcfg):
 
     if args.mnist_dir is not None:
         return MNISTDataSet(args.mnist_dir, args.batch_size)
-    needs_masks = args.model in ("unet", "fcn", "deconvolution", "template")
+    # Inference never reads masks (cmd_infer loads images itself; the
+    # dataset only sizes the model) — don't demand --mask-dir there.
+    inference = getattr(args, "mode", "TRAINING") == "INFERENCE"
+    needs_masks = not inference and args.model in (
+        "unet", "fcn", "deconvolution", "template"
+    )
     if args.image_dir is None:
         hw = (args.crop_size, args.crop_size)
         if needs_masks:
@@ -148,11 +153,14 @@ def build_trainer(args, dataset=None, test_dataset=None):
     name = args.model
     if name == "unet":
         # even-sized inputs take the space-to-depth fast path (exact parity;
-        # models/unet_fast.py) — measurably faster on TPU
+        # models/unet_fast.py) — measurably faster on TPU. Bayesian mode
+        # needs the standard UNet: UNetS2D has no dropout sites, so MC
+        # inference over it would produce all-zero uncertainty maps.
         h, w = mcfg.hw
         from segmentation_tpu.models import UNetS2D
 
-        model = UNetS2D(mcfg) if h % 2 == 0 and w % 2 == 0 else UNet(mcfg)
+        use_s2d = h % 2 == 0 and w % 2 == 0 and not mcfg.bayesian
+        model = UNetS2D(mcfg) if use_s2d else UNet(mcfg)
         return SegmentationTrainer(model, **kwargs)
     if name == "fcn":
         return SegmentationTrainer(FCN(mcfg), **kwargs)
@@ -213,7 +221,8 @@ def cmd_infer(args):
         for i in range(len(imgs)):
             cv2.imwrite(
                 os.path.join(args.out_dir, f"{i:04d}_mask.png"),
-                (outputs["mask"][i, :, :, 0] * 255).astype(np.uint8),
+                (outputs["mask"][i, :, :, 0]
+                 * (255 // max(1, args.n_classes - 1))).astype(np.uint8),
             )
             if "var" in outputs:
                 v = outputs["var"][i].mean(-1)

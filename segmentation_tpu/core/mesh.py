@@ -100,19 +100,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+_warned_replicated_batch = False
+
+
 def shard_batch(mesh: Mesh, tree):
     """Place a host pytree of batch arrays onto the mesh, batch-sharded.
     Batches not divisible by the 'data' axis are replicated instead (small
-    debug batches; production batch sizes are multiples of the mesh)."""
+    debug batches; production batch sizes are multiples of the mesh). The
+    fallback warns once — on a real mesh it is a silent n-fold slowdown."""
     sh = batch_sharding(mesh)
     vec = vector_batch_sharding(mesh)
     data_size = mesh.shape.get("data", 1)
 
     def _put(x):
+        global _warned_replicated_batch
         x = np.asarray(x)
         if x.ndim >= 1 and x.shape[0] % max(1, data_size) == 0:
             s = sh if x.ndim == 4 else vec
         else:
+            if data_size > 1 and not _warned_replicated_batch:
+                _warned_replicated_batch = True
+                import warnings
+
+                warnings.warn(
+                    f"batch dim {x.shape[0]} not divisible by data-parallel "
+                    f"axis {data_size}; replicating the batch on every "
+                    f"device ({data_size}x redundant compute). Use a batch "
+                    f"size that is a multiple of the mesh 'data' axis.",
+                    stacklevel=3,
+                )
             s = replicated(mesh)
         return jax.device_put(x, s)
 

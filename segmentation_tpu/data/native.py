@@ -148,7 +148,12 @@ class NativeImageMaskDataSet:
             self._mask_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
         if rc != 0:
-            raise RuntimeError(f"sdl_next_batch failed rc={rc}")
+            detail = (
+                " (a full epoch of consecutive decode failures — every "
+                "image is undecodable or smaller than crop_size)"
+                if rc == -3 else ""
+            )
+            raise RuntimeError(f"sdl_next_batch failed rc={rc}{detail}")
         out = {"image": self._img_buf.copy()}
         if self.has_masks:
             m = self._mask_buf.astype(np.int32)
@@ -193,5 +198,10 @@ class NativeImageDataSet(NativeImageMaskDataSet):
             ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8)),
         )
         if rc != 0:
-            raise RuntimeError(f"sdl_next_batch failed rc={rc}")
+            detail = (
+                " (a full epoch of consecutive decode failures — every "
+                "image is undecodable or smaller than crop_size)"
+                if rc == -3 else ""
+            )
+            raise RuntimeError(f"sdl_next_batch failed rc={rc}{detail}")
         return {"image": self._img_buf.copy()}

@@ -194,12 +194,21 @@ class Autoencoder:
     def encode(self, x):
         t = self.cfg.encoder_type
         if t == "stacked":
-            return self.stacked_encoder(x)
-        if t == "multiscale":
-            return self.multiscale_encoder(x)
-        if t == "small":
-            return self.small_stacked_encoder(x)
-        raise ValueError(f"unknown encoder_type {t!r}")
+            z = self.stacked_encoder(x)
+        elif t == "multiscale":
+            z = self.multiscale_encoder(x)
+        elif t == "small":
+            z = self.small_stacked_encoder(x)
+        else:
+            raise ValueError(f"unknown encoder_type {t!r}")
+        if min(self.conv_shape[1:3]) < 1:
+            raise ValueError(
+                f"input {x.shape[1]}x{x.shape[2]} collapses to "
+                f"{self.conv_shape[1]}x{self.conv_shape[2]} in the "
+                f"{t!r} encoder — use a larger crop_size (stacked needs "
+                f"~96+, small ~16+) or encoder_type='small'"
+            )
+        return z
 
     def decode(self, zed):
         if self.cfg.encoder_type == "small":

@@ -128,7 +128,17 @@ class Trainer:
                 restored, step = result
             self.state = jax.device_put(restored, mesh_lib.replicated(self.mesh))
             print(f"Restored snapshot; resuming from global step {step}")
-        except Exception as e:  # fall through to fresh training, as reference
+        except Exception as e:
+            # Resume-if-present training falls through to fresh weights (the
+            # reference contract). But INFERENCE forces restore, and an
+            # explicit load_snapshot_from is an unambiguous ask — silently
+            # serving random weights there is a correctness trap: hard-fail.
+            if self.mode == "INFERENCE" or self.tcfg.load_snapshot_from:
+                raise RuntimeError(
+                    f"snapshot restore required (mode={self.mode}, "
+                    f"load_snapshot_from={self.tcfg.load_snapshot_from!r}) "
+                    f"but failed: {e}"
+                ) from e
             print(f"Failed to load snapshot ({e}); proceed with training")
 
     def snapshot(self) -> Optional[str]:

@@ -370,6 +370,24 @@ class GANTrainer(Trainer):
         self.summary.images(self.global_step, "y_dream", imgs, max_outputs=8)
         return imgs
 
+    def infer(self, z: np.ndarray,
+              labels: Optional[np.ndarray] = None) -> np.ndarray:
+        """Generate images from caller-supplied latents — the `inference_ops`
+        contract every reference model exposes (reference
+        models/basemodel.py:527-531). Unlike dream(), no summary is written
+        and z is required: this is the serving path."""
+        z = np.asarray(z)
+        if labels is None and self.conditional:
+            labels = np.zeros((len(z),), np.int32)
+        imgs = self._dream(
+            self.state.params,
+            self.state.model_state,
+            jnp.asarray(z, self.policy.compute_dtype),
+            jnp.asarray(labels if labels is not None
+                        else np.zeros((len(z),), np.int32)),
+        )
+        return np.asarray(imgs)
+
     def test(self):
         """GANs 'dream' instead of test (reference models/gan.py:98-100)."""
         self.dream()

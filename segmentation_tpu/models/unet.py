@@ -46,6 +46,13 @@ class UNet:
         return unet_output_hw(in_hw, self.levels)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        oh, ow = self.output_hw(x.shape[1:3])
+        if min(oh, ow) < 1:
+            raise ValueError(
+                f"input {x.shape[1]}x{x.shape[2]} collapses to {oh}x{ow} "
+                f"through the {self.levels}-level VALID U-Net — use a larger "
+                f"crop_size or fewer levels (UNet(cfg, levels=N))"
+            )
         k = self.cfg.n_kernels
         nc = self.cfg.n_classes
         bayes = self.cfg.bayesian

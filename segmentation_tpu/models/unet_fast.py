@@ -10,11 +10,17 @@ reassociation) in a packed layout:
   space-to-depth 2×2:   [N, H, W, C] → [N, H/2, W/2, 4, C]
   3×3 VALID conv        → 2×2 conv over 4C→4O channels (1.78× FLOPs at 4×
                           lane width — net win)
+  3×3 VALID conv over an UNPACKED input with packed output → a 4×4 stride-2
+                          conv producing 4O channels (the kernel phases are
+                          absorbed into the kernel) — NO pack transpose at
+                          all; this is how every packed level ingests the
+                          previous level's pooled output
   2×2/2 max-pool        → max over the 4 packing slots (pure VPU, no
                           spatial op at all)
   2×2/2 transposed conv → a 1×1 matmul whose outputs land pre-packed
-  center-crop + concat  → slot-aligned packed slicing (even offsets) or
-                          unpack/repack (odd offsets)
+  center-crop + concat  → slot-aligned packed slicing (even offsets) or a
+                          slot-phase shift: 4 contiguous slices + stack
+                          (odd offsets)
 
 Usage:
   fast = UNetS2DInference(cfg)
@@ -22,7 +28,8 @@ Usage:
   logits = jax.jit(fast.apply)(prepared, x)
 
 Only inference: training takes the standard segmentation_tpu.models.unet
-path. Parity is locked by tests/test_unet_fast.py.
+path (or the trainable UNetS2D below). Parity is locked by
+tests/test_unet_fast.py.
 """
 
 from __future__ import annotations
@@ -125,6 +132,39 @@ def pack_conv3_weight_jnp(w: jnp.ndarray) -> jnp.ndarray:
     return w2.reshape(2, 2, 4 * c, 4 * o)
 
 
+def pack_conv3_weight_s2(w: np.ndarray) -> np.ndarray:
+    """[3, 3, C, O] → [4, 4, C, 4O] stride-2 space-to-depth kernel.
+
+    A 3×3 VALID conv whose output lands directly in packed layout, computed
+    from the UNPACKED input: output packed pixel (i, j) slot (d, e) is the
+    conv at unpacked position (2i+d, 2j+e), which reads input rows
+    2i+d+ky ∈ [2i, 2i+4) — i.e. a 4×4 kernel at stride 2 with one output
+    channel group per slot. K[u, v, c, (2d+e)·O+o] = W[u-d, v-e, c, o]
+    where the tap index is in [0, 3), else 0."""
+    w = np.asarray(w)
+    c, o = w.shape[2], w.shape[3]
+    k4 = np.zeros((4, 4, c, 4, o), w.dtype)
+    for d in range(2):
+        for e in range(2):
+            k4[d : d + 3, e : e + 3, :, 2 * d + e, :] = w
+    return k4.reshape(4, 4, c, 4 * o)
+
+
+def pack_conv3_weight_s2_jnp(w: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable version of pack_conv3_weight_s2 (gather + mask)."""
+    c, o = w.shape[2], w.shape[3]
+    u = np.arange(4)[:, None, None]
+    v = np.arange(4)[None, :, None]
+    s = np.arange(4)[None, None, :]
+    d, e = s // 2, s % 2
+    ky, kx = u - d, v - e
+    valid = (ky >= 0) & (ky < 3) & (kx >= 0) & (kx < 3)
+    w4 = w[jnp.asarray(np.clip(ky, 0, 2)), jnp.asarray(np.clip(kx, 0, 2))]
+    w4 = jnp.where(jnp.asarray(valid)[..., None, None], w4, 0)
+    # [u,v,s_out,C,O] → [u,v,C,s_out,O] → [4,4,C,4O]
+    return jnp.transpose(w4, (0, 1, 3, 2, 4)).reshape(4, 4, c, 4 * o)
+
+
 def packed_conv3(xp, w2, b, relu=True):
     """Packed-space 3×3 VALID conv: [N,Hp,Wp,4,C] → [N,Hp-1,Wp-1,4,O]."""
     n, hp, wp, s, c = xp.shape
@@ -138,20 +178,48 @@ def packed_conv3(xp, w2, b, relu=True):
     return jax.nn.relu(y) if relu else y
 
 
+def strided_packed_conv3(x, w4, b, relu=True):
+    """3×3 VALID conv over an UNPACKED input with PACKED output, as a 4×4
+    stride-2 conv (see pack_conv3_weight_s2): [N,H,W,C] → [N,(H-2)/2,
+    (W-2)/2, 4, O]. Replaces pack2+packed_conv3 with zero layout traffic."""
+    n = x.shape[0]
+    o4 = w4.shape[-1]
+    y = lax.conv_general_dilated(
+        x, w4.astype(x.dtype), (2, 2), "VALID", dimension_numbers=_DN,
+    )
+    y = _reshape(y, (n, y.shape[1], y.shape[2], 4, o4 // 4))
+    y = y + b.astype(y.dtype)
+    return jax.nn.relu(y) if relu else y
+
+
 def packed_pool(xp):
     """2×2/2 max-pool in packed space = max over the 4 slots → UNPACKED
     [N, Hp, Wp, C] (the pooled grid IS the packed grid)."""
     return jnp.max(xp, axis=3)
 
 
+# Layout-experiment flags (A/B-tested on hardware via benchmarks/; the
+# defaults are the measured winners):
+#   STRIDED_ENCODER  — packed levels ingest via the 4×4/2 strided conv
+#                      instead of pack2/packed_pool_repack transposes.
+#   PACKED_DECONV    — between two packed decoder levels the 2×2/2 deconv
+#                      consumes the packed tensor directly (einsum + slot
+#                      rearrange) instead of unpack2 + matmul.
+#   ODD_CROP_SLOTS   — odd-offset packed center-crop via 4 contiguous
+#                      slot-phase slices instead of unpack/slice/repack.
+STRIDED_ENCODER = True
+PACKED_DECONV = True
+ODD_CROP_SLOTS = True
+
 # Strided (d::2) slot ops avoid transposes but lower to expensive gathers on
-# some TPU generations; the transpose formulation is the measured default.
+# some TPU generations; kept only for the legacy pooled-repack path.
 STRIDED_SLOT_OPS = False
 
 
 def packed_pool_repack(xp):
     """Fused pool + re-pack for packed→packed level transitions:
-    out[i, j, (d,e), c] = max_s xp[2i+d, 2j+e, s, c]."""
+    out[i, j, (d,e), c] = max_s xp[2i+d, 2j+e, s, c]. Legacy path — the
+    strided encoder (STRIDED_ENCODER) makes this transpose unnecessary."""
     pooled = jnp.max(xp, axis=3)  # [N, Hp, Wp, C] on the pooled grid
     if not STRIDED_SLOT_OPS:
         return pack2(pooled)
@@ -169,19 +237,35 @@ def deconv2_as_matmul(x, wm, b, o, relu=True):
     return jax.nn.relu(y) if relu else y
 
 
+def deconv2_packed_in(xp, wm, b, o, relu=True):
+    """2×2 stride-2 VALID transposed conv consuming a PACKED input and
+    producing a PACKED output: [N,i,j,4,C] (= [N,2i,2j,C]) → [N,2i,2j,4,O]
+    (= [N,4i,4j,O]). Input slot (a,b) contributes output packed pixel
+    (2i+a, 2j+b) slots (d,e) = W[d,e]ᵀ·x — an einsum plus one slot
+    rearrangement of the output."""
+    n, i, j, s, c = xp.shape
+    y = jnp.einsum("nijsc,ck->nijsk", xp, wm.astype(xp.dtype))
+    y = _reshape(y, (n, i, j, 2, 2, 2, 2, o))  # a, b, d, e, o
+    y = y.transpose(0, 1, 3, 2, 4, 5, 6, 7)   # n, i, a, j, b, d, e, o
+    y = _reshape(y, (n, 2 * i, 2 * j, 4, o))
+    y = y + b.astype(y.dtype)
+    return jax.nn.relu(y) if relu else y
+
+
 def packed_center_crop(skip_p, target_hw, off):
     """Center-crop a packed tensor to (unpacked) target size without ever
     unpacking. Even offsets slice the packed grid directly. Odd offsets are
     a slot-phase shift: output slot (d, e) reads input slot
     ((oh+d) % 2, (ow+e) % 2) at packed offset ((oh+d)//2, (ow+e)//2) —
-    four slices and a stack instead of two full-tensor transposes."""
+    four CONTIGUOUS slices and a stack instead of two full-tensor
+    transposes (measured faster; the legacy unpack path is kept for A/B)."""
     th, tw = target_hw
     oh, ow = off
     if oh % 2 == 0 and ow % 2 == 0:
         return skip_p[
             :, oh // 2 : oh // 2 + th // 2, ow // 2 : ow // 2 + tw // 2
         ]
-    if STRIDED_SLOT_OPS:
+    if ODD_CROP_SLOTS:
         slots = []
         for d in range(2):
             for e in range(2):
@@ -203,8 +287,13 @@ def packed_center_crop(skip_p, target_hw, off):
 class UNetS2DInference:
     """Inference over standard UNet params (segmentation_tpu.models.unet
     names) in the packed layout. Requires even input H/W (512 qualifies);
-    levels 1-2 run packed (C = k, 2k), deeper levels standard; the last two
-    decoder up-blocks run packed again."""
+    levels 1-2 run packed (C = k, 2k), deeper levels standard (C ≥ 128 is
+    already lane-aligned; packing there would only pay the 1.78× FLOP tax);
+    the last two decoder up-blocks run packed again.
+
+    Subclasses (e.g. the int8 path) override the _strided_conv /
+    _packed_conv / _std_conv hooks; the forward topology lives only here.
+    """
 
     cfg: ModelConfig
     levels: int = 4
@@ -213,26 +302,56 @@ class UNetS2DInference:
     def packed_levels(self) -> int:
         return min(2, self.levels)
 
+    # ---- conv-site hooks (overridden by quantized subclasses) ------------
+    def _strided_conv(self, p, name, h, relu=True):
+        return strided_packed_conv3(h, p[f"{name}/w4"], p[f"{name}/b"], relu)
+
+    def _packed_conv(self, p, name, xp, relu=True):
+        return packed_conv3(xp, p[f"{name}/w2"], p[f"{name}/b"], relu)
+
+    def _std_conv(self, p, name, h, relu=True):
+        y = lax.conv_general_dilated(
+            h, p[f"{name}/w"].astype(h.dtype), (1, 1), "VALID",
+            dimension_numbers=_DN,
+        )
+        y = y + p[f"{name}/b"].astype(y.dtype)
+        return jax.nn.relu(y) if relu else y
+
+    # ---- weight preparation ----------------------------------------------
+    def _packed_conv_names(self):
+        """(encoder-entry names, packed-space names) for the packed levels."""
+        L, pl_ = self.levels, self.packed_levels
+        entry, packed = [], []
+        for lvl in range(pl_):
+            entry.append(f"conv{lvl + 1}_1")
+            packed.append(f"conv{lvl + 1}_2")
+        for i, lvl in enumerate(reversed(range(L))):
+            if lvl < pl_:
+                packed += [f"conv{L + 2 + i}_1", f"conv{L + 2 + i}_2"]
+        return entry, packed
+
     def prepare(self, params: Dict[str, jnp.ndarray]):
         """Pack the affected conv kernels once (host-side numpy)."""
         out = dict(params)
         L, pl_ = self.levels, self.packed_levels
-        packed_names = []
-        for lvl in range(pl_):
-            packed_names += [f"conv{lvl + 1}_1", f"conv{lvl + 1}_2"]
+        entry, packed = self._packed_conv_names()
+        for name in entry:
+            w = np.asarray(params[f"{name}/w"], np.float32)
+            out[f"{name}/w4"] = jnp.asarray(pack_conv3_weight_s2(w))
+            # legacy pack2-based path weights, kept for the A/B flag
+            out[f"{name}/w2"] = jnp.asarray(pack_conv3_weight(w))
+        for name in packed:
+            out[f"{name}/w2"] = jnp.asarray(
+                pack_conv3_weight(np.asarray(params[f"{name}/w"], np.float32))
+            )
         for i, lvl in enumerate(reversed(range(L))):
             if lvl < pl_:
-                packed_names += [f"conv{L + 2 + i}_1", f"conv{L + 2 + i}_2"]
                 up = f"upconv{i + 1}"
                 w = np.asarray(params[f"{up}/w"], np.float32)
                 c, o = w.shape[2], w.shape[3]
                 out[f"{up}/wm"] = jnp.asarray(
                     np.transpose(w, (2, 0, 1, 3)).reshape(c, 4 * o)
                 )
-        for name in packed_names:
-            out[f"{name}/w2"] = jnp.asarray(
-                pack_conv3_weight(np.asarray(params[f"{name}/w"], np.float32))
-            )
         return out
 
     def apply(self, prepared: Dict[str, jnp.ndarray], x: jnp.ndarray,
@@ -243,52 +362,71 @@ class UNetS2DInference:
         L, pl_ = self.levels, self.packed_levels
         p = prepared
 
-        def conv(h, name, relu=True):
-            y = lax.conv_general_dilated(
-                h, p[f"{name}/w"].astype(h.dtype), (1, 1), "VALID",
-                dimension_numbers=_DN,
-            )
-            y = y + p[f"{name}/b"].astype(y.dtype)
-            return jax.nn.relu(y) if relu else y
-
+        # ---- encoder: packed levels --------------------------------------
         skips = []
-        hp = pack2(x)
-        h = None
-        for lvl in range(pl_):
-            for tag in ("_1", "_2"):
-                nm = f"conv{lvl + 1}{tag}"
-                hp = packed_conv3(hp, p[f"{nm}/w2"], p[f"{nm}/b"])
-            skips.append(("packed", hp))
-            if lvl + 1 < pl_:
-                hp = packed_pool_repack(hp)  # stay packed, no transpose
-            else:
-                h = packed_pool(hp)  # hand off to the standard levels
+        h = x
+        if pl_ and (x.shape[1] % 2 or x.shape[2] % 2):
+            raise ValueError(
+                f"space-to-depth U-Net needs even H/W, got "
+                f"{x.shape[1]}x{x.shape[2]}; use models.unet.UNet"
+            )
+        if STRIDED_ENCODER:
+            for lvl in range(pl_):
+                hp = self._strided_conv(p, f"conv{lvl + 1}_1", h)
+                hp = self._packed_conv(p, f"conv{lvl + 1}_2", hp)
+                skips.append(("packed", hp))
+                h = packed_pool(hp)
+        elif pl_:
+            hp = pack2(x)
+            for lvl in range(pl_):
+                hp = self._packed_conv(p, f"conv{lvl + 1}_1", hp)
+                hp = self._packed_conv(p, f"conv{lvl + 1}_2", hp)
+                skips.append(("packed", hp))
+                if lvl + 1 < pl_:
+                    hp = packed_pool_repack(hp)  # stay packed, no transpose
+                else:
+                    h = packed_pool(hp)  # hand off to the standard levels
+
+        # ---- encoder: standard levels + bottleneck ------------------------
         for lvl in range(pl_, L):
-            h = conv(h, f"conv{lvl + 1}_1")
-            h = conv(h, f"conv{lvl + 1}_2")
+            h = self._std_conv(p, f"conv{lvl + 1}_1", h)
+            h = self._std_conv(p, f"conv{lvl + 1}_2", h)
             skips.append(("plain", h))
             h = lax.reduce_window(
                 h, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
             )
-        h = conv(h, f"conv{L + 1}_1")
-        h = conv(h, f"conv{L + 1}_2")
+        h = self._std_conv(p, f"conv{L + 1}_1", h)
+        h = self._std_conv(p, f"conv{L + 1}_2", h)
 
+        # ---- decoder -------------------------------------------------------
         for i, lvl in enumerate(reversed(range(L))):
             up = f"upconv{i + 1}"
             c1, c2 = f"conv{L + 2 + i}_1", f"conv{L + 2 + i}_2"
             kind, skip = skips[lvl]
             width = k * (2**lvl)
             if lvl < pl_:
-                hp = deconv2_as_matmul(h, p[f"{up}/wm"], p[f"{up}/b"], width)
+                if h.ndim == 5:  # previous packed level stayed packed
+                    if PACKED_DECONV:
+                        hp = deconv2_packed_in(
+                            h, p[f"{up}/wm"], p[f"{up}/b"], width
+                        )
+                    else:
+                        hp = deconv2_as_matmul(
+                            unpack2(h), p[f"{up}/wm"], p[f"{up}/b"], width
+                        )
+                else:
+                    hp = deconv2_as_matmul(
+                        h, p[f"{up}/wm"], p[f"{up}/b"], width
+                    )
                 th, tw = hp.shape[1] * 2, hp.shape[2] * 2
                 sk = skip if kind == "packed" else pack2(skip)
                 sh, sw = sk.shape[1] * 2, sk.shape[2] * 2
                 off = ((sh - th) // 2, (sw - tw) // 2)
                 sk = packed_center_crop(sk, (th, tw), off)
                 hp = jnp.concatenate([sk, hp], axis=-1)
-                hp = packed_conv3(hp, p[f"{c1}/w2"], p[f"{c1}/b"])
-                hp = packed_conv3(hp, p[f"{c2}/w2"], p[f"{c2}/b"])
-                h = unpack2(hp) if not (packed_out and lvl == 0) else hp
+                hp = self._packed_conv(p, c1, hp)
+                hp = self._packed_conv(p, c2, hp)
+                h = hp  # stays packed; unpacked once at the end if needed
             else:
                 h = lax.conv_transpose(
                     h, jnp.swapaxes(p[f"{up}/w"], 2, 3).astype(h.dtype),
@@ -302,11 +440,13 @@ class UNetS2DInference:
                 sk = sk[:, dh // 2 : dh // 2 + h.shape[1],
                         dw // 2 : dw // 2 + h.shape[2], :]
                 h = jnp.concatenate([sk, h], axis=-1)
-                h = conv(h, c1)
-                h = conv(h, c2)
+                h = self._std_conv(p, c1, h)
+                h = self._std_conv(p, c2, h)
 
-        if packed_out and h.ndim == 5:
-            return h
+        if h.ndim == 5:
+            if packed_out:
+                return h
+            h = unpack2(h)
         logits = lax.conv_general_dilated(
             h, p["output/w"].astype(h.dtype), (1, 1), "VALID",
             dimension_numbers=_DN,
@@ -396,19 +536,20 @@ class UNetS2D:
         declare_conv("output", c, nc, ksz=1)
 
         fast = UNetS2DInference(self.cfg, self.levels)
-        pl_ = fast.packed_levels
-        packed_names = []
-        for lvl in range(pl_):
-            packed_names += [f"conv{lvl + 1}_1", f"conv{lvl + 1}_2"]
+        entry, packed = fast._packed_conv_names()
+        for name in entry:
+            if STRIDED_ENCODER:
+                p[f"{name}/w4"] = pack_conv3_weight_s2_jnp(p[f"{name}/w"])
+            else:
+                p[f"{name}/w2"] = pack_conv3_weight_jnp(p[f"{name}/w"])
+        for name in packed:
+            p[f"{name}/w2"] = pack_conv3_weight_jnp(p[f"{name}/w"])
         for i, lvl in enumerate(reversed(range(L))):
-            if lvl < pl_:
-                packed_names += [f"conv{L + 2 + i}_1", f"conv{L + 2 + i}_2"]
+            if lvl < fast.packed_levels:
                 up = f"upconv{i + 1}"
                 w = p[f"{up}/w"]
                 ci, co = w.shape[2], w.shape[3]
                 p[f"{up}/wm"] = jnp.transpose(w, (2, 0, 1, 3)).reshape(
                     ci, 4 * co
                 )
-        for name in packed_names:
-            p[f"{name}/w2"] = pack_conv3_weight_jnp(p[f"{name}/w"])
         return fast.apply(p, x)

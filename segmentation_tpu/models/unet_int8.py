@@ -1,16 +1,20 @@
 """int8 quantized U-Net serving path (on top of the s2d layout).
 
-TPU v5e executes int8 MXU ops at ~1.4× the measured bf16 conv rate (probe in
-benchmarks; 2× nominal). This module quantizes the s2d U-Net's packed convs
-— the 128/256-channel, compute-dominated sites — with:
+TPU v5e executes int8 MXU ops at up to 2× the bf16 rate (394 TOPS nominal).
+This module quantizes every 3×3 conv site of the s2d U-Net — the packed
+convs, the strided-encoder entry convs, and the standard deeper levels —
+with:
 
   - static symmetric per-output-channel weight scales, and
   - static per-layer activation scales CALIBRATED from sample batches,
 
 so the activation round/clip/cast fuses into the previous op's epilogue (no
-extra abs-max reduction pass at serving time). Deeper levels and the head
-stay bf16. Post-training quantization: expect tiny mask-level disagreement
-vs the float path (locked by a tolerance test, tests/test_unet_int8.py).
+extra abs-max reduction pass at serving time). Post-training quantization:
+expect tiny mask-level disagreement vs the float path (locked by a tolerance
+test, tests/test_unet_int8.py).
+
+The forward topology is inherited from UNetS2DInference — this class only
+overrides the conv-site hooks, so layout improvements there apply here too.
 
 Usage:
     q = UNetS2DInt8(cfg)
@@ -30,12 +34,8 @@ from jax import lax
 
 from segmentation_tpu.models.unet_fast import (
     UNetS2DInference,
-    deconv2_as_matmul,
-    pack2,
-    packed_center_crop,
-    packed_pool,
-    packed_pool_repack,
-    unpack2,
+    packed_conv3,
+    strided_packed_conv3,
 )
 
 _DN = ("NHWC", "HWIO", "NHWC")
@@ -55,11 +55,11 @@ def _quant_act(x: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(xq, -127, 127).astype(jnp.int8)
 
 
-def int8_conv(x, wq, w_scale, act_scale, b, relu=True):
-    """Standard-layout int8 3×3 VALID conv with float rescale epilogue."""
+def int8_conv(x, wq, w_scale, act_scale, b, relu=True, strides=(1, 1)):
+    """Standard-layout int8 VALID conv with float rescale epilogue."""
     xq = _quant_act(x, act_scale)
     yi = lax.conv_general_dilated(
-        xq, wq, (1, 1), "VALID", dimension_numbers=_DN,
+        xq, wq, strides, "VALID", dimension_numbers=_DN,
         preferred_element_type=jnp.int32,
     )
     y = yi.astype(jnp.float32) * (act_scale * w_scale)
@@ -87,10 +87,27 @@ def int8_packed_conv(xp, wq, w_scale, act_scale, b, relu=True):
     return y.astype(xp.dtype)
 
 
+def int8_strided_conv(x, wq, w_scale, act_scale, b, relu=True):
+    """Strided-encoder entry conv (4×4/2, packed output) in int8."""
+    xq = _quant_act(x, act_scale)
+    yi = lax.conv_general_dilated(
+        xq, wq, (2, 2), "VALID", dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    )
+    o4 = wq.shape[-1]
+    y = yi.astype(jnp.float32) * (act_scale * w_scale)
+    y = y.reshape(*yi.shape[:3], 4, o4 // 4)
+    y = y + b.astype(jnp.float32)
+    if relu:
+        y = jax.nn.relu(y)
+    return y.astype(x.dtype)
+
+
 @dataclasses.dataclass
 class UNetS2DInt8(UNetS2DInference):
-    """Quantized variant: packed conv sites run int8; everything else
-    inherits the s2d bf16 path."""
+    """Quantized variant: every 3×3 conv site runs int8 (calibrated);
+    deconvs and the 1×1 head stay bf16 (tiny FLOP share). Everything else —
+    topology, packing, serving paths — inherits from UNetS2DInference."""
 
     def _std_conv_names(self):
         """The non-packed 3×3 conv sites (deeper encoder/decoder levels +
@@ -108,142 +125,84 @@ class UNetS2DInt8(UNetS2DInference):
     def prepare(self, params: Dict[str, jnp.ndarray],
                 calib_batches: Sequence[jnp.ndarray] = ()):
         prepared = super().prepare(params)
-        packed = [k[: -len("/w2")] for k in prepared if k.endswith("/w2")]
+        entry, packed = self._packed_conv_names()
+        std = self._std_conv_names()
+        for name in entry:
+            wq, ws = _quantize_weight(np.asarray(prepared[f"{name}/w4"]))
+            prepared[f"{name}/wq4"] = jnp.asarray(wq)
+            prepared[f"{name}/wscale4"] = jnp.asarray(ws)
         for name in packed:
             wq, ws = _quantize_weight(np.asarray(prepared[f"{name}/w2"]))
             prepared[f"{name}/wq"] = jnp.asarray(wq)
             prepared[f"{name}/wscale"] = jnp.asarray(ws)
-        std = self._std_conv_names()
         for name in std:
             wq, ws = _quantize_weight(np.asarray(prepared[f"{name}/w"]))
             prepared[f"{name}/wq"] = jnp.asarray(wq)
             prepared[f"{name}/wscale"] = jnp.asarray(ws)
-        self._packed_names = sorted(packed)
 
         # Calibrate activation scales by running the float path and
         # recording abs-max at each quantized site. WITHOUT calibration
         # batches no activation scales are written and every site falls back
         # to the float path (uncalibrated int8 would be garbage).
-        all_sites = packed + std
         if len(calib_batches):
-            records: Dict[str, float] = {name: 0.0 for name in all_sites}
+            records: Dict[str, float] = {
+                name: 0.0 for name in entry + packed + std
+            }
             self._calibrating = records
             for x in calib_batches:
-                # run eagerly through THIS class's apply so the hook records
+                # run eagerly through the hooks so abs-maxes get recorded
                 self.apply(prepared, jnp.asarray(x))
             self._calibrating = None
-            for name in all_sites:
+            for name in records:
                 prepared[f"{name}/ascale"] = jnp.asarray(
                     np.float32(max(records[name], 1e-6) / 127.0)
                 )
         return prepared
 
-    # Hook: UNetS2DInference.apply calls packed_conv3 via this indirection.
+    # ---- hook overrides ----------------------------------------------------
     _calibrating = None
 
-    def _packed_conv(self, p, name, xp):
-        if self._calibrating is not None:
-            # float path + abs-max recording (host-side concrete values)
-            n, hp, wp, s, c = xp.shape
-            self._calibrating[name] = max(
-                self._calibrating[name],
-                float(jnp.max(jnp.abs(xp.astype(jnp.float32)))),
-            )
-            from segmentation_tpu.models.unet_fast import packed_conv3
+    def _record(self, name, x):
+        self._calibrating[name] = max(
+            self._calibrating.get(name, 0.0),
+            float(jnp.max(jnp.abs(x.astype(jnp.float32)))),
+        )
 
-            return packed_conv3(xp, p[f"{name}/w2"], p[f"{name}/b"])
-        if f"{name}/wq" in p and f"{name}/ascale" in p:
+    def _strided_conv(self, p, name, h, relu=True):
+        if self._calibrating is not None:
+            self._record(name, h)
+        elif f"{name}/wq4" in p and f"{name}/ascale" in p:
+            return int8_strided_conv(
+                h, p[f"{name}/wq4"], p[f"{name}/wscale4"],
+                p[f"{name}/ascale"], p[f"{name}/b"], relu,
+            )
+        return strided_packed_conv3(h, p[f"{name}/w4"], p[f"{name}/b"], relu)
+
+    def _packed_conv(self, p, name, xp, relu=True):
+        if self._calibrating is not None:
+            self._record(name, xp)
+        elif f"{name}/wq" in p and f"{name}/ascale" in p:
             return int8_packed_conv(
                 xp, p[f"{name}/wq"], p[f"{name}/wscale"],
-                p[f"{name}/ascale"], p[f"{name}/b"],
+                p[f"{name}/ascale"], p[f"{name}/b"], relu,
             )
-        from segmentation_tpu.models.unet_fast import packed_conv3
+        return packed_conv3(xp, p[f"{name}/w2"], p[f"{name}/b"], relu)
 
-        return packed_conv3(xp, p[f"{name}/w2"], p[f"{name}/b"])
-
-    def apply(self, prepared, x, packed_out: bool = False):
-        # Re-implement the forward with quantized conv hooks.
-        k = self.cfg.n_kernels
-        L, pl_ = self.levels, self.packed_levels
-        p = prepared
-        std_sites = set(self._std_conv_names())
-
-        def conv(h, name, relu=True):
-            if name in std_sites and self._calibrating is not None:
-                self._calibrating[name] = max(
-                    self._calibrating.get(name, 0.0),
-                    float(jnp.max(jnp.abs(h.astype(jnp.float32)))),
-                )
-            elif (name in std_sites and f"{name}/wq" in p
-                  and f"{name}/ascale" in p):
-                return int8_conv(
-                    h, p[f"{name}/wq"], p[f"{name}/wscale"],
-                    p[f"{name}/ascale"], p[f"{name}/b"], relu,
-                )
-            y = lax.conv_general_dilated(
-                h, p[f"{name}/w"].astype(h.dtype), (1, 1), "VALID",
-                dimension_numbers=_DN,
+    def _std_conv(self, p, name, h, relu=True):
+        quantized = f"{name}/wq" in p and name in self._std_names_cache
+        if self._calibrating is not None and quantized:
+            self._record(name, h)
+        elif quantized and f"{name}/ascale" in p:
+            return int8_conv(
+                h, p[f"{name}/wq"], p[f"{name}/wscale"],
+                p[f"{name}/ascale"], p[f"{name}/b"], relu,
             )
-            y = y + p[f"{name}/b"].astype(y.dtype)
-            return jax.nn.relu(y) if relu else y
+        return super()._std_conv(p, name, h, relu)
 
-        skips = []
-        hp = pack2(x)
-        h = None
-        for lvl in range(pl_):
-            for tag in ("_1", "_2"):
-                hp = self._packed_conv(p, f"conv{lvl + 1}{tag}", hp)
-            skips.append(("packed", hp))
-            if lvl + 1 < pl_:
-                hp = packed_pool_repack(hp)
-            else:
-                h = packed_pool(hp)
-        for lvl in range(pl_, L):
-            h = conv(h, f"conv{lvl + 1}_1")
-            h = conv(h, f"conv{lvl + 1}_2")
-            skips.append(("plain", h))
-            h = lax.reduce_window(
-                h, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-            )
-        h = conv(h, f"conv{L + 1}_1")
-        h = conv(h, f"conv{L + 1}_2")
-
-        for i, lvl in enumerate(reversed(range(L))):
-            up = f"upconv{i + 1}"
-            c1, c2 = f"conv{L + 2 + i}_1", f"conv{L + 2 + i}_2"
-            kind, skip = skips[lvl]
-            width = k * (2**lvl)
-            if lvl < pl_:
-                hp = deconv2_as_matmul(h, p[f"{up}/wm"], p[f"{up}/b"], width)
-                th, tw = hp.shape[1] * 2, hp.shape[2] * 2
-                sk = skip if kind == "packed" else pack2(skip)
-                sh, sw = sk.shape[1] * 2, sk.shape[2] * 2
-                off = ((sh - th) // 2, (sw - tw) // 2)
-                sk = packed_center_crop(sk, (th, tw), off)
-                hp = jnp.concatenate([sk, hp], axis=-1)
-                hp = self._packed_conv(p, c1, hp)
-                hp = self._packed_conv(p, c2, hp)
-                h = unpack2(hp) if not (packed_out and lvl == 0) else hp
-            else:
-                h = lax.conv_transpose(
-                    h, jnp.swapaxes(p[f"{up}/w"], 2, 3).astype(h.dtype),
-                    (2, 2), "VALID", dimension_numbers=_DN,
-                    transpose_kernel=True,
-                )
-                h = jax.nn.relu(h + p[f"{up}/b"].astype(h.dtype))
-                sk = skip
-                dh = sk.shape[1] - h.shape[1]
-                dw = sk.shape[2] - h.shape[2]
-                sk = sk[:, dh // 2 : dh // 2 + h.shape[1],
-                        dw // 2 : dw // 2 + h.shape[2], :]
-                h = jnp.concatenate([sk, h], axis=-1)
-                h = conv(h, c1)
-                h = conv(h, c2)
-
-        if packed_out and h.ndim == 5:
-            return h
-        logits = lax.conv_general_dilated(
-            h, p["output/w"].astype(h.dtype), (1, 1), "VALID",
-            dimension_numbers=_DN,
-        )
-        return logits + p["output/b"].astype(logits.dtype)
+    @property
+    def _std_names_cache(self):
+        cache = getattr(self, "_std_names_", None)
+        if cache is None:
+            cache = set(self._std_conv_names())
+            object.__setattr__(self, "_std_names_", cache)
+        return cache

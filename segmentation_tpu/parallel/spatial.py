@@ -8,8 +8,13 @@ analog', §2.10): shard the H and W axes of one huge image across the mesh's
 ('sph', 'spw') axes with ``shard_map``, exchange fixed-radius halos between
 ICI neighbors via ``jax.lax.ppermute``, run the network on each extended
 shard, and crop the overlap away. For halo ≥ the network's receptive-field
-radius the result is exact for SAME-padded (IN_OUT_EQUAL) models; smaller
-halos trade edge accuracy for bandwidth.
+radius the result is exact for SAME-padded (IN_OUT_EQUAL) models at all
+*interior* pixels (pixels ≥ halo away from the image border): a monolithic
+SAME net zero-pads at the true image edge at every layer, while the sharded
+program sees a symmetric-reflected input border, so outer-border pixels
+within the receptive field of the edge may differ. Smaller halos trade
+interior edge accuracy for bandwidth. VALID-padded models (U-Net) go through
+``spatial_apply_valid`` below, which is exact everywhere.
 
 Used by Bayesian MC-dropout whole-slide inference (BASELINE.md config #5:
 1024×1024 uncertainty maps).
@@ -39,7 +44,9 @@ def _exchange_1d(x: jnp.ndarray, halo: int, axis_name: str, dim: int):
     if n == 1 or halo == 0:
         pad = [(0, 0)] * x.ndim
         pad[dim] = (halo, halo)
-        return jnp.pad(x, pad, mode="reflect") if halo else x
+        # 'symmetric' (edge row included) matches the n>1 boundary branch
+        # below, so 1-shard and multi-shard runs agree at image borders.
+        return jnp.pad(x, pad, mode="symmetric") if halo else x
 
     idx = jax.lax.axis_index(axis_name)
 

@@ -67,8 +67,13 @@ class SummaryWriter:
             return
         batch = np.asarray(batch)[:max_outputs]
         batch = np.clip(batch, 0.0, 1.0)
-        if batch.shape[-1] == 1:
+        c = batch.shape[-1]
+        if c == 1:
             batch = np.repeat(batch, 3, axis=-1)
+        elif c == 2:  # binary-seg prob maps: show the foreground plane
+            batch = np.repeat(batch[..., -1:], 3, axis=-1)
+        elif c > 4:  # class-prob stacks: first three planes as RGB
+            batch = batch[..., :3]
         for i, img in enumerate(batch):
             self._tb.add_image(
                 f"{tag}/{i}", img.transpose(2, 0, 1), step

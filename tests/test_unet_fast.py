@@ -144,3 +144,62 @@ def test_apply_argmax_packed_head_matches():
     ref = np.asarray(jnp.argmax(fast.apply(prepared, x), -1))
     got = np.asarray(fast.apply_argmax(prepared, x))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_pack_weight_s2_jnp_matches_numpy():
+    from segmentation_tpu.models.unet_fast import (
+        pack_conv3_weight_s2,
+        pack_conv3_weight_s2_jnp,
+    )
+
+    w = np.random.default_rng(1).normal(size=(3, 3, 5, 7)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(pack_conv3_weight_s2_jnp(jnp.asarray(w))),
+        pack_conv3_weight_s2(w),
+        atol=1e-6,
+    )
+
+
+def test_strided_conv_matches_pack_then_packed_conv():
+    """The 4x4/2 strided-s2d conv equals pack2 + packed_conv3 (and both
+    equal the plain 3x3 VALID conv, up to float reassociation)."""
+    from segmentation_tpu.models.unet_fast import (
+        pack2,
+        pack_conv3_weight,
+        pack_conv3_weight_s2,
+        packed_conv3,
+        strided_packed_conv3,
+        unpack2,
+    )
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 20, 24, 5)).astype(np.float32))
+    w = rng.normal(size=(3, 3, 5, 6)).astype(np.float32)
+    b = rng.normal(size=(6,)).astype(np.float32)
+    ref = packed_conv3(
+        pack2(x), jnp.asarray(pack_conv3_weight(w)), jnp.asarray(b)
+    )
+    got = strided_packed_conv3(
+        x, jnp.asarray(pack_conv3_weight_s2(w)), jnp.asarray(b)
+    )
+    np.testing.assert_allclose(
+        np.asarray(unpack2(got)), np.asarray(unpack2(ref)), atol=1e-5
+    )
+
+
+def test_deconv2_packed_in_matches_unpack_matmul():
+    from segmentation_tpu.models.unet_fast import (
+        deconv2_as_matmul,
+        deconv2_packed_in,
+        unpack2,
+    )
+
+    rng = np.random.default_rng(3)
+    xp = jnp.asarray(rng.normal(size=(2, 5, 6, 4, 8)).astype(np.float32))
+    wm = jnp.asarray(rng.normal(size=(8, 4 * 3)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(3,)).astype(np.float32))
+    ref = deconv2_as_matmul(unpack2(xp), wm, b, 3)
+    got = deconv2_packed_in(xp, wm, b, 3)
+    np.testing.assert_allclose(
+        np.asarray(unpack2(got)), np.asarray(unpack2(ref)), atol=1e-5
+    )
