@@ -11,13 +11,19 @@ whole-slide inference, and multi-host input sharding helpers.
 from segmentation_tpu.parallel.spatial import (
     halo_exchange_2d,
     spatial_apply,
+    spatial_apply_valid,
     spatial_infer_bayesian,
+    spatial_infer_bayesian_valid,
+    valid_halo,
 )
 from segmentation_tpu.parallel.hosts import host_shard_paths
 
 __all__ = [
     "halo_exchange_2d",
     "spatial_apply",
+    "spatial_apply_valid",
     "spatial_infer_bayesian",
+    "spatial_infer_bayesian_valid",
+    "valid_halo",
     "host_shard_paths",
 ]

@@ -123,6 +123,217 @@ def spatial_apply(
     return call
 
 
+# --------------------------------------------------------------------------
+# VALID-padded (IN_OUT_CROP) models — exact overlap-tile partitioning
+# --------------------------------------------------------------------------
+#
+# The U-Net's VALID stack shrinks the output (input H → H - shrink) and uses
+# stride-2 pooling, so a shard can reproduce the monolithic values only when
+# its extended window is aligned to the global pooling grid. The exactness
+# conditions (the overlap-tile strategy of the original U-Net paper, realized
+# with ICI halo exchange instead of host tiling):
+#
+#   align  = 2^levels              (the pooling-grid period)
+#   shard  = H / n_shards          must be a multiple of `align`
+#   halo   — a multiple of `align` with 2·halo ≥ shrink
+#
+# Then each extended shard (size shard + 2·halo, also ≡ 0 mod align) computes
+# outputs whose window starts line up with the monolithic run's pooling
+# phase, so every produced value is IDENTICAL to the monolithic one. Each
+# shard's output has a fixed surplus of (2·halo − shrink) rows/cols shared
+# with its neighbors; cropping surplus/2 from each side tiles the plane
+# disjointly, and the assembled [N, H, W, C] grid's center crop to the
+# monolithic output size (H − shrink) equals the monolithic logits exactly —
+# the same center-crop contract (IN_OUT_CROP) the trainer already applies to
+# labels (reference models/basemodel.py:412-417, models/unet.py:171-174).
+# Boundary reflection never leaks in: retained outputs' receptive fields are
+# exactly the monolithic ones, which by construction stay inside the image.
+
+
+def valid_halo(shrink: int, levels: int) -> int:
+    """Smallest exact halo for a VALID net with the given total shrinkage:
+    the least multiple of 2^levels ≥ shrink/2 (U-Net levels=4: 188 → 96)."""
+    align = 1 << levels
+    need = -(-shrink // 2)
+    return -(-need // align) * align
+
+
+def model_shrink(out_hw_fn, levels: int) -> int:
+    """Total VALID shrinkage (input size − output size) of a model, probed at
+    an aligned size. Constant across all sizes ≡ 0 mod 2^levels."""
+    align = 1 << levels
+    n0 = 64 * align
+    return n0 - out_hw_fn((n0, n0))[0]
+
+
+def _valid_geometry(hw, n_hw, shrink, levels, halo):
+    align = 1 << levels
+    for d, (size, n) in enumerate(zip(hw, n_hw)):
+        ax = "HW"[d]
+        if size % n:
+            raise ValueError(f"{ax}={size} not divisible by {n} shards")
+        shard = size // n
+        if shard % align:
+            raise ValueError(
+                f"{ax} shard {shard} not a multiple of 2^levels={align} — "
+                f"pick a tile size/shard count with {align}-aligned shards"
+            )
+        if halo > shard:
+            raise ValueError(
+                f"halo {halo} exceeds the {shard}-px shard along {ax}"
+            )
+    if halo % align:
+        raise ValueError(f"halo {halo} must be a multiple of {align}")
+    surplus = 2 * halo - shrink
+    if surplus < 0:
+        raise ValueError(
+            f"halo {halo} too small: need 2*halo ≥ shrink={shrink}"
+        )
+    if surplus % 2:
+        raise ValueError(f"odd surplus {surplus} (shrink={shrink})")
+    return surplus
+
+
+def spatial_apply_valid(
+    apply_fn: Callable,
+    params,
+    model_state,
+    mesh: Mesh,
+    out_hw_fn: Callable[[Tuple[int, int]], Tuple[int, int]],
+    levels: int = 4,
+    halo: Optional[int] = None,
+    axis_names: Tuple[str, str] = ("sph", "spw"),
+    batch_axis: Optional[str] = None,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Exact spatially-partitioned inference for VALID-padded (IN_OUT_CROP)
+    models — the U-Net giant-tile path (SURVEY §2.10, §5 long-context analog;
+    the reference's workaround was host-side crops, reference
+    utils/datasets.py:27-34).
+
+    ``apply_fn(params, model_state, x)`` → logits, VALID semantics
+    (out = in − shrink); ``out_hw_fn`` is the model's static shape map
+    (e.g. ``UNet.output_hw``). Returns a jitted callable [N, H, W, C] →
+    [N, H−shrink, W−shrink, n_classes] equal to the monolithic model
+    everywhere (up to float reassociation).
+    """
+    from segmentation_tpu.nn.shapes import center_crop_or_pad
+
+    shrink = model_shrink(out_hw_fn, levels)
+    if halo is None:
+        halo = valid_halo(shrink, levels)
+    n_h = mesh.shape[axis_names[0]]
+    n_w = mesh.shape[axis_names[1]]
+    surplus = None  # resolved per input shape at trace time
+
+    in_spec = P(batch_axis, *axis_names, None)
+    rep = lambda tree: jax.tree_util.tree_map(lambda _: P(), tree)  # noqa: E731
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(in_spec, rep(params), rep(model_state)),
+        out_specs=in_spec,
+        check_vma=False,
+    )
+    def run(x, params_, state_):
+        x_ext = halo_exchange_2d(x, halo, axis_names)
+        y = apply_fn(params_, state_, x_ext)
+        c = surplus // 2
+        return y[:, c : c + x.shape[1], c : c + x.shape[2], :]
+
+    @jax.jit
+    def full(x, params_, state_):
+        grid = run(x, params_, state_)  # [N, H, W, C'] assembled
+        oh, ow = out_hw_fn((x.shape[1], x.shape[2]))
+        return center_crop_or_pad(grid, oh, ow)
+
+    def call(x):
+        nonlocal surplus
+        surplus = _valid_geometry(
+            x.shape[1:3], (n_h, n_w), shrink, levels, halo
+        )
+        x = jax.device_put(x, NamedSharding(mesh, in_spec))
+        return full(x, params, model_state)
+
+    return call
+
+
+def spatial_infer_bayesian_valid(
+    apply_fn: Callable,
+    params,
+    model_state,
+    mesh: Mesh,
+    out_hw_fn: Callable[[Tuple[int, int]], Tuple[int, int]],
+    levels: int = 4,
+    halo: Optional[int] = None,
+    n_samples: int = 8,
+    axis_names: Tuple[str, str] = ("sph", "spw"),
+    batch_axis: Optional[str] = None,
+):
+    """MC-dropout over a spatially-partitioned VALID model: n stochastic
+    forwards → per-pixel (mean, variance) of sigmoid probabilities at the
+    model's output grid (H−shrink). ``apply_fn(params, state, rng, x)`` →
+    logits with live dropout. Dropout masks are decorrelated per shard (each
+    shard folds its mesh coordinates into the key), so seam pixels mix masks
+    from both neighbors — still unbiased MC samples; use
+    ``spatial_apply_valid`` for the deterministic-exactness contract.
+
+    This is BASELINE.md config #5 (Bayesian 1024² U-Net) scaled past one
+    chip's HBM: tiles shard over ('sph','spw'), halos ride ICI.
+    """
+    from segmentation_tpu.nn.shapes import center_crop_or_pad
+
+    shrink = model_shrink(out_hw_fn, levels)
+    if halo is None:
+        halo = valid_halo(shrink, levels)
+    n_h = mesh.shape[axis_names[0]]
+    n_w = mesh.shape[axis_names[1]]
+    surplus = None
+
+    in_spec = P(batch_axis, *axis_names, None)
+    rep = lambda tree: jax.tree_util.tree_map(lambda _: P(), tree)  # noqa: E731
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), in_spec, rep(params), rep(model_state)),
+        out_specs=in_spec,
+        check_vma=False,
+    )
+    def one_sample(rng, x, params_, state_):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_names[0]))
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_names[1]))
+        x_ext = halo_exchange_2d(x, halo, axis_names)
+        logits = apply_fn(params_, state_, rng, x_ext)
+        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        c = surplus // 2
+        return probs[:, c : c + x.shape[1], c : c + x.shape[2], :]
+
+    @jax.jit
+    def full(rng, x, params_, state_):
+        keys = jax.random.split(rng, n_samples)
+        samples = jax.lax.map(
+            lambda k: one_sample(k, x, params_, state_), keys
+        )
+        mean = jnp.mean(samples, axis=0)
+        var = jnp.var(samples, axis=0)
+        oh, ow = out_hw_fn((x.shape[1], x.shape[2]))
+        return (
+            center_crop_or_pad(mean, oh, ow),
+            center_crop_or_pad(var, oh, ow),
+        )
+
+    def call(rng, x):
+        nonlocal surplus
+        surplus = _valid_geometry(
+            x.shape[1:3], (n_h, n_w), shrink, levels, halo
+        )
+        x = jax.device_put(x, NamedSharding(mesh, in_spec))
+        return full(rng, x, params, model_state)
+
+    return call
+
+
 def spatial_infer_bayesian(
     apply_fn: Callable,
     params,

@@ -93,6 +93,107 @@ def test_spatial_bayesian_inference_runs():
     assert float(np.asarray(var).mean()) > 0  # dropout made it stochastic
 
 
+def test_valid_halo_formula():
+    from segmentation_tpu.parallel import valid_halo
+
+    assert valid_halo(188, 4) == 96   # U-Net levels=4
+    assert valid_halo(92, 3) == 48    # levels=3
+    assert valid_halo(40, 2) == 20    # levels=2
+
+
+def test_spatial_valid_unet_matches_monolithic():
+    """The flagship giant-tile contract (SURVEY §2.10, §5): a VALID-padded
+    U-Net spatially partitioned over a 2×2 ('sph','spw') mesh with halo
+    exchange must equal the monolithic forward EXACTLY (up to float
+    reassociation) — everywhere, including the output border."""
+    from segmentation_tpu.core.config import ModelConfig
+    from segmentation_tpu.models.unet import UNet
+    from segmentation_tpu.nn import module as hk
+    from segmentation_tpu.parallel import spatial_apply_valid
+
+    mesh = make_mesh(MeshSpec(data=2, sph=2, spw=2))
+    mcfg = ModelConfig(n_classes=2, input_dims=(224, 224), n_kernels=4)
+    model = UNet(mcfg)  # levels=4: shrink=188, halo=96, 112-px shards
+    fwd = hk.transform(lambda x: model(x))
+    x = np.random.default_rng(2).random((2, 224, 224, 3)).astype(np.float32)
+    xj = jnp.asarray(x)
+    params, state = fwd.init(jax.random.PRNGKey(0), xj, train=False)
+
+    mono, _ = fwd.apply(params, state, jax.random.PRNGKey(0), xj, train=False)
+
+    def apply_fn(p, s, xx):
+        logits, _ = fwd.apply(p, s, jax.random.PRNGKey(0), xx, train=False)
+        return logits
+
+    run = spatial_apply_valid(
+        apply_fn, params, state, mesh, model.output_hw, levels=4,
+        batch_axis="data",
+    )
+    out = run(xj)
+    assert out.shape == mono.shape == (2, 36, 36, 2)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(mono), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_spatial_valid_geometry_validation():
+    from segmentation_tpu.core.config import ModelConfig
+    from segmentation_tpu.models.unet import UNet
+    from segmentation_tpu.nn import module as hk
+    from segmentation_tpu.parallel import spatial_apply_valid
+
+    mesh = make_mesh(MeshSpec(data=1, sph=2, spw=4))
+    mcfg = ModelConfig(n_classes=2, input_dims=(224, 224), n_kernels=2)
+    model = UNet(mcfg)
+    fwd = hk.transform(lambda x: model(x))
+    x = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    params, state = fwd.init(jax.random.PRNGKey(0), x, train=False)
+
+    def apply_fn(p, s, xx):
+        return fwd.apply(p, s, jax.random.PRNGKey(0), xx, train=False)[0]
+
+    run = spatial_apply_valid(
+        apply_fn, params, state, mesh, model.output_hw, levels=4
+    )
+    # W=224 over 4 shards → 56-px shards: not 16-aligned AND smaller than
+    # the 96-px halo → must refuse, not silently return garbage
+    with pytest.raises(ValueError):
+        run(x)
+
+
+def test_spatial_valid_bayesian_runs():
+    """MC-dropout over the spatially-partitioned VALID U-Net (BASELINE
+    config #5 semantics): runs, correct output grid, positive variance."""
+    from segmentation_tpu.core.config import ModelConfig
+    from segmentation_tpu.models.unet import UNet
+    from segmentation_tpu.nn import module as hk
+    from segmentation_tpu.parallel import spatial_infer_bayesian_valid
+
+    mesh = make_mesh(MeshSpec(data=2, sph=2, spw=2))
+    mcfg = ModelConfig(
+        n_classes=2, input_dims=(224, 224), n_kernels=2, bayesian=True,
+        dropout_rate=0.5,
+    )
+    model = UNet(mcfg)
+    fwd = hk.transform(lambda x: model(x))
+    x = np.random.default_rng(3).random((1, 224, 224, 3)).astype(np.float32)
+    params, state = fwd.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), train=False
+    )
+
+    def apply_fn(p, s, rng, xx):
+        return fwd.apply(p, s, rng, xx, train=False)[0]
+
+    run = spatial_infer_bayesian_valid(
+        apply_fn, params, state, mesh, model.output_hw, levels=4,
+        n_samples=3,
+    )
+    mean, var = run(jax.random.PRNGKey(7), jnp.asarray(x))
+    assert mean.shape == (1, 36, 36, 2)
+    assert var.shape == (1, 36, 36, 2)
+    assert float(np.asarray(var).mean()) > 0
+
+
 def test_data_parallel_batch_step_runs_on_mesh(tmp_path):
     """Full train step on an 8-way data mesh: params replicated, batch
     sharded; gradient psum inserted by XLA."""
