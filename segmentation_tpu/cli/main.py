@@ -153,13 +153,12 @@ def build_trainer(args, dataset=None, test_dataset=None):
     name = args.model
     if name == "unet":
         # even-sized inputs take the space-to-depth fast path (exact parity;
-        # models/unet_fast.py) — measurably faster on TPU. Bayesian mode
-        # needs the standard UNet: UNetS2D has no dropout sites, so MC
-        # inference over it would produce all-zero uncertainty maps.
+        # models/unet_fast.py) — measurably faster on TPU. Bayesian mode is
+        # supported there too (same MC-dropout sites as the standard UNet).
         h, w = mcfg.hw
         from segmentation_tpu.models import UNetS2D
 
-        use_s2d = h % 2 == 0 and w % 2 == 0 and not mcfg.bayesian
+        use_s2d = h % 2 == 0 and w % 2 == 0
         model = UNetS2D(mcfg) if use_s2d else UNet(mcfg)
         return SegmentationTrainer(model, **kwargs)
     if name == "fcn":

@@ -297,6 +297,13 @@ class UNetS2DInference:
 
     cfg: ModelConfig
     levels: int = 4
+    # Optional elementwise stochastic hook applied at the two MC-dropout
+    # sites of the standard UNet (bottleneck + decoder end). Dropout is
+    # elementwise, so applying it in packed layout draws an iid mask of the
+    # same rate over the same activations — the Kendall&Gal mechanism is
+    # preserved while keeping the fast layout (set by UNetS2D when
+    # cfg.bayesian; None = deterministic serving).
+    dropout_fn: "object" = None
 
     @property
     def packed_levels(self) -> int:
@@ -397,6 +404,8 @@ class UNetS2DInference:
             )
         h = self._std_conv(p, f"conv{L + 1}_1", h)
         h = self._std_conv(p, f"conv{L + 1}_2", h)
+        if self.dropout_fn is not None:  # bottleneck MC-dropout site
+            h = self.dropout_fn(h)
 
         # ---- decoder -------------------------------------------------------
         for i, lvl in enumerate(reversed(range(L))):
@@ -443,6 +452,8 @@ class UNetS2DInference:
                 h = self._std_conv(p, c1, h)
                 h = self._std_conv(p, c2, h)
 
+        if self.dropout_fn is not None:  # decoder-end MC-dropout site
+            h = self.dropout_fn(h)
         if h.ndim == 5:
             if packed_out:
                 return h
@@ -536,6 +547,19 @@ class UNetS2D:
         declare_conv("output", c, nc, ksz=1)
 
         fast = UNetS2DInference(self.cfg, self.levels)
+        if self.cfg.bayesian:
+            # Same MC-dropout sites (and liveness contract) as models.unet:
+            # stays stochastic at inference (reference examples/inference.py:
+            # 31-38) so infer_bayesian gets real posterior samples.
+            from segmentation_tpu.nn.layers import dropout as _dropout
+
+            rate = self.cfg.dropout_rate
+            fast = dataclasses.replace(
+                fast,
+                dropout_fn=lambda h: _dropout(
+                    h, rate, deterministic=False
+                ),
+            )
         entry, packed = fast._packed_conv_names()
         for name in entry:
             if STRIDED_ENCODER:

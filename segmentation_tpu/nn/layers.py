@@ -244,7 +244,13 @@ def dropout(
         return x
     keep = 1.0 - rate
     mask = jax.random.bernoulli(hk.next_rng_key(), keep, x.shape)
-    return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
+    try:
+        return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
+    except Exception:
+        # Under explicit-sharding jit the mask traces replicated while x is
+        # batch-sharded; replicated→sharded is a local slice (no comms).
+        mask = jax.sharding.reshard(mask, x.aval.sharding)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
 
 
 def bilinear_resize(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
