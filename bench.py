@@ -4,8 +4,13 @@ Prints exactly ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 vs_baseline is measured/5000 — the BASELINE.json north-star target of
 5,000 images/sec/chip on TPU v5e (the reference publishes no numbers,
-BASELINE.md). Details (train-step throughput, batch sweep) go to
-BENCH_DETAILS.json.
+BASELINE.md). Details go to BENCH_DETAILS.json:
+  - batch sweep, int8 path, train-step throughput (remat @ B=128)
+  - Bayesian MC-dropout 1024² tiles (BASELINE config #5)
+  - END-TO-END data path: disk → native C++ loader → DevicePrefetcher →
+    jitted train step, plus loader worker-count scaling (the "can the
+    pipeline feed the chip" answer, quantified for this host)
+  - a small deterministic convergence run recording final mIoU
 
 Timing discipline: the device runtime on this platform can return from
 block_until_ready before execution completes, so every measurement forces a
@@ -64,6 +69,17 @@ def main():
 
     K = 8  # batches per dispatch: amortizes launch overhead; all real work
 
+    def device_batches(k, batch, seed):
+        """Test data generated ON DEVICE (host RNG for 400M samples costs
+        minutes on this 1-core host and is not what we're measuring)."""
+        x = jax.jit(
+            lambda key: jax.random.uniform(
+                key, (k, batch, 512, 512, 3), jnp.bfloat16
+            )
+        )(jax.random.PRNGKey(seed))
+        x.block_until_ready()
+        return x
+
     @jax.jit
     def infer_many(xs):  # [K, B, 512, 512, 3] -> checksum
         def one(x):
@@ -73,10 +89,7 @@ def main():
         return jax.lax.map(one, xs).sum()
 
     def infer_throughput(batch, iters=3):
-        xs = jnp.asarray(
-            np.random.default_rng(0).random((K, batch, 512, 512, 3)),
-            jnp.bfloat16,
-        )
+        xs = device_batches(K, batch, 0)
         float(infer_many(xs))  # compile + warm
         best = 0.0
         for _ in range(iters):
@@ -122,11 +135,8 @@ def main():
 
             return jax.lax.map(one, xs).sum()
 
-        Kq = 2
-        xq = jnp.asarray(
-            np.random.default_rng(0).random((Kq, 128, 512, 512, 3)),
-            jnp.bfloat16,
-        )
+        Kq = 4
+        xq = device_batches(Kq, 128, 1)
         float(infer_q(xq))
         t0 = time.perf_counter()
         float(infer_q(xq))
@@ -136,36 +146,40 @@ def main():
         details["unet512_int8_images_per_sec"] = f"failed: {e}"
 
     # --- train-step throughput (secondary metric for BENCH_DETAILS) -------
-    try:
-        import optax
+    # B=128 fits with rematerialization (jax.checkpoint over the forward:
+    # ~⅓ recompute FLOPs for ~half the live activation memory — the round-1
+    # bench OOMed at B=128 by 6MB without it, VERDICT weak #3).
+    import optax
 
-        from segmentation_tpu.models.unet_fast import UNetS2D
+    from segmentation_tpu.models.unet_fast import UNetS2D
+    from segmentation_tpu.nn.shapes import center_crop_or_pad
+    from segmentation_tpu.training import losses as L
 
-        s2d_model = UNetS2D(mcfg)
-        tfwd = hk.transform(lambda x: s2d_model(x))
-        opt = optax.adam(1e-4)
-        tparams, tstate = tfwd.init(
-            jax.random.PRNGKey(1),
-            jnp.zeros((1, 512, 512, 3), jnp.bfloat16), train=True,
-        )
+    s2d_model = UNetS2D(mcfg)
+    tfwd = hk.transform(lambda x: s2d_model(x))
+    opt = optax.adam(1e-4)
+    tparams, tstate = tfwd.init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((1, 512, 512, 3), jnp.bfloat16), train=True,
+    )
+
+    def train_throughput(Bt, remat, iters=3):
         opt_state = opt.init(tparams)
-        from segmentation_tpu.nn.shapes import center_crop_or_pad
-        from segmentation_tpu.training import losses as L
 
-        Bt = 64  # B=128 OOMs by ~6MB inside the full bench program
+        apply_train = lambda p, st, x: tfwd.apply(  # noqa: E731
+            p, st, jax.random.PRNGKey(0), x, train=True
+        )
+        if remat:
+            apply_train = jax.checkpoint(apply_train)
 
         @jax.jit
         def train_many(carry, xs, ys):
-            tparams, tstate, opt_state = carry
-
             def step(carry, xy):
-                tparams, tstate, opt_state = carry
+                tp, ms, os_ = carry
                 x, y = xy
 
                 def loss_fn(p):
-                    logits, new_ms = tfwd.apply(
-                        p, tstate, jax.random.PRNGKey(0), x, train=True
-                    )
+                    logits, new_ms = apply_train(p, ms, x)
                     yy = center_crop_or_pad(
                         y, logits.shape[1], logits.shape[2]
                     )
@@ -173,33 +187,44 @@ def main():
 
                 (loss, new_ms), g = jax.value_and_grad(
                     loss_fn, has_aux=True
-                )(tparams)
-                upd, opt_state = opt.update(g, opt_state, tparams)
-                tparams = optax.apply_updates(tparams, upd)
-                return (tparams, new_ms, opt_state), loss
+                )(tp)
+                upd, os_ = opt.update(g, os_, tp)
+                tp = optax.apply_updates(tp, upd)
+                return (tp, new_ms, os_), loss
 
             carry, ls = jax.lax.scan(step, carry, (xs, ys))
             return carry, ls.sum()
 
         Kt = 2
-        xs = jnp.asarray(
-            np.random.default_rng(1).random((Kt, Bt, 512, 512, 3)),
-            jnp.bfloat16,
-        )
-        ys = jnp.asarray(
-            np.random.default_rng(2).integers(0, 2, (Kt, Bt, 512, 512, 1)),
-            jnp.uint8,
-        )
+        xs = device_batches(Kt, Bt, 2)
+        ys = jax.jit(
+            lambda key: jax.random.bernoulli(
+                key, 0.5, (Kt, Bt, 512, 512, 1)
+            ).astype(jnp.uint8)
+        )(jax.random.PRNGKey(3))
         carry = (tparams, tstate, opt_state)
         carry, s = train_many(carry, xs, ys)
         float(s)
-        t0 = time.perf_counter()
-        carry, s = train_many(carry, xs, ys)
-        float(s)
-        dt = time.perf_counter() - t0
-        details["unet512_train_images_per_sec"] = round(Kt * Bt / dt, 1)
-    except Exception as e:
-        details["unet512_train_images_per_sec"] = f"failed: {e}"
+        best = 0.0
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            carry, s = train_many(carry, xs, ys)
+            float(s)
+            best = max(best, Kt * Bt / (time.perf_counter() - t0))
+        return best
+
+    tsweep = {}
+    for Bt, remat in ((128, True), (64, False)):
+        key = f"B{Bt}{'_remat' if remat else ''}"
+        try:
+            tsweep[key] = round(train_throughput(Bt, remat), 1)
+        except Exception as e:
+            tsweep[key] = f"failed: {type(e).__name__}: {e}"
+    details["unet512_train_sweep"] = tsweep
+    best_train = max(
+        (v for v in tsweep.values() if isinstance(v, float)), default=0.0
+    )
+    details["unet512_train_images_per_sec"] = best_train
 
     # --- Bayesian MC-dropout 1024² tiles (BASELINE.md config #5) ----------
     try:
@@ -207,7 +232,11 @@ def main():
             name="unet", n_classes=2, input_dims=(1024, 1024),
             n_kernels=32, bayesian=True,
         )
-        bmodel = UNet(bcfg)
+        # s2d layout with live MC-dropout sites (same Kendall&Gal mechanism,
+        # fast layout — models/unet_fast.py)
+        from segmentation_tpu.models.unet_fast import UNetS2D
+
+        bmodel = UNetS2D(bcfg)
         bfwd = hk.transform(lambda x: bmodel(x))
         bparams, bstate = bfwd.init(
             jax.random.PRNGKey(2),
@@ -230,10 +259,11 @@ def main():
             samples = jax.lax.map(one, keys)
             return jnp.mean(samples, 0).sum() + jnp.var(samples, 0).sum()
 
-        xb = jnp.asarray(
-            np.random.default_rng(3).random((Bmc, 1024, 1024, 3)),
-            jnp.bfloat16,
-        )
+        xb = jax.jit(
+            lambda key: jax.random.uniform(
+                key, (Bmc, 1024, 1024, 3), jnp.bfloat16
+            )
+        )(jax.random.PRNGKey(4))
         float(mc(xb, jax.random.PRNGKey(4)))
         t0 = time.perf_counter()
         float(mc(xb, jax.random.PRNGKey(5)))
@@ -242,7 +272,9 @@ def main():
     except Exception as e:
         details["bayesian_mc8_1024_tiles_per_sec"] = f"failed: {e}"
 
-    # --- input-pipeline bandwidth (BASELINE.md metric: MB/s per host) -----
+    # --- END-TO-END data path: disk → C++ loader → prefetch → train step --
+    # (VERDICT round-1 item 5: the synthetic headline says what the chip can
+    # eat; this says what the pipeline can feed it, per worker count.)
     try:
         import tempfile
 
@@ -253,7 +285,7 @@ def main():
         mask_dir = os.path.join(tmp, "labels")
         os.makedirs(img_dir), os.makedirs(mask_dir)
         rng = np.random.default_rng(0)
-        for i in range(24):
+        for i in range(48):
             cv2.imwrite(
                 os.path.join(img_dir, f"{i:03d}.jpg"),
                 rng.integers(0, 255, (600, 600, 3), dtype=np.uint8),
@@ -265,27 +297,128 @@ def main():
         from segmentation_tpu.data import native
 
         if native.available():
-            ds = native.NativeImageMaskDataSet(
-                img_dir, mask_dir, batch_size=32, crop_size=512, threads=8,
+            # (a) loader-only worker scaling. Long steady-state windows: the
+            # workers prefill an internal queue during warmup, so short
+            # windows overstate the rate by draining the prefill.
+            scaling = {}
+            for threads in (1, 2, 4):
+                ds = native.NativeImageMaskDataSet(
+                    img_dir, mask_dir, batch_size=16, crop_size=512,
+                    threads=threads,
+                )
+                for _ in range(3):  # warm decode + drain the prefill
+                    ds.get_batch()
+                t0 = time.perf_counter()
+                nbytes = n_img = 0
+                for _ in range(12):
+                    b = ds.get_batch()
+                    nbytes += sum(a.nbytes for a in b.values())
+                    n_img += 16
+                dt = time.perf_counter() - t0
+                scaling[str(threads)] = {
+                    "MBps": round(nbytes / dt / 1e6, 1),
+                    "images_per_sec": round(n_img / dt, 1),
+                }
+                ds.close()
+            details["pipeline_native_scaling"] = scaling
+            details["pipeline_native_MBps"] = max(
+                v["MBps"] for v in scaling.values()
             )
-            ds.get_batch()
+
+            # (b) full path: loader → DevicePrefetcher → jitted train step
+            from segmentation_tpu.data.pipeline import DevicePrefetcher
+
+            Be = 16
+            ds = native.NativeImageMaskDataSet(
+                img_dir, mask_dir, batch_size=Be, crop_size=512,
+                threads=os.cpu_count() or 1,
+            )
+            pf = DevicePrefetcher(ds, depth=2)
+            opt_state_e = opt.init(tparams)
+
+            apply_train = jax.checkpoint(
+                lambda p, st, x: tfwd.apply(
+                    p, st, jax.random.PRNGKey(0), x, train=True
+                )
+            )
+
+            @jax.jit
+            def train_step_e(tp, ms, os_, x, y):
+                def loss_fn(p):
+                    logits, new_ms = apply_train(
+                        p, ms, x.astype(jnp.bfloat16)
+                    )
+                    yy = center_crop_or_pad(
+                        y, logits.shape[1], logits.shape[2]
+                    )
+                    return L.segmentation_xentropy(logits, yy, 2), new_ms
+
+                (loss, new_ms), g = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(tp)
+                upd, os_ = opt.update(g, os_, tp)
+                return optax.apply_updates(tp, upd), new_ms, os_, loss
+
+            b = pf.get_batch()
+            tp, ms, os_, loss = train_step_e(
+                tparams, tstate, opt_state_e, b["image"],
+                b["mask"][..., None] if b["mask"].ndim == 3 else b["mask"],
+            )
+            float(loss)  # compile + warm
+            n_steps = 6
             t0 = time.perf_counter()
-            nbytes = 0
-            for _ in range(8):
-                b = ds.get_batch()
-                nbytes += sum(a.nbytes for a in b.values())
-            details["pipeline_native_MBps"] = round(
-                nbytes / (time.perf_counter() - t0) / 1e6, 1
+            for _ in range(n_steps):
+                b = pf.get_batch()
+                tp, ms, os_, loss = train_step_e(
+                    tp, ms, os_, b["image"],
+                    b["mask"][..., None]
+                    if b["mask"].ndim == 3 else b["mask"],
+                )
+            float(loss)
+            dt = time.perf_counter() - t0
+            details["e2e_disk_to_step_images_per_sec"] = round(
+                n_steps * Be / dt, 1
             )
             ds.close()
     except Exception as e:
-        details["pipeline_native_MBps"] = f"failed: {e}"
+        details["e2e_disk_to_step_images_per_sec"] = f"failed: {e}"
+
+    # --- deterministic convergence run → recorded mIoU (VERDICT item 6b) --
+    try:
+        from segmentation_tpu.core.config import TrainConfig
+        from segmentation_tpu.data.synthetic import SyntheticSegmentation
+        from segmentation_tpu.models.base import SegmentationTrainer
+
+        hw = (64, 64)
+        ccfg = ModelConfig(n_classes=2, input_dims=hw, n_kernels=8)
+        tcfg = TrainConfig(
+            save_dir=os.path.join("/tmp", "bench_conv_snap"),
+            learning_rate=3e-4,
+        )
+        cds = SyntheticSegmentation(batch_size=16, hw=hw, seed=0)
+        trainer = SegmentationTrainer(
+            UNet(ccfg, levels=2), dataset=cds, model_cfg=ccfg,
+            train_cfg=tcfg, test_dataset=SyntheticSegmentation(
+                batch_size=16, hw=hw, seed=99
+            ),
+        )
+        for _ in range(150):
+            trainer.train_step()
+        m = trainer.test()
+        details["convergence_miou_synthetic"] = round(
+            float(m.get("miou", float("nan"))), 4
+        )
+        details["convergence_steps"] = 150
+    except Exception as e:
+        details["convergence_miou_synthetic"] = f"failed: {e}"
 
     details["parity_strategy"] = (
         "reference is bit-rotted TF1 (SURVEY §2.9); parity is locked against "
-        "analytic oracles instead: torch conv/deconv + loss math, scipy/"
-        "closed-form bilinear kernels, TF crop semantics, and exact "
-        "s2d-vs-standard forward equality (tests/)"
+        "analytic oracles (torch conv/deconv + loss math, scipy/closed-form "
+        "bilinear kernels, TF crop semantics), exact s2d-vs-standard forward "
+        "equality, and committed golden-forward fingerprints "
+        "(tests/test_golden_parity.py); convergence_miou_synthetic above is "
+        "the recorded deterministic convergence artifact"
     )
 
     try:

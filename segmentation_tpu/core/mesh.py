@@ -63,13 +63,18 @@ def make_mesh(
     """
     devices = list(devices if devices is not None else jax.devices())
     shape = spec.resolve(len(devices))
+    # Auto axis types: sharding propagates through jit via GSPMD (XLA
+    # inserts the collectives — the framework's design contract). jax 0.9's
+    # make_mesh defaults to Explicit, whose type-level inference rejects
+    # strided/rematerialized convs and replicated/sharded elementwise mixes.
+    types = (jax.sharding.AxisType.Auto,) * len(axis_names)
     try:
         if devices == list(jax.devices()):
-            return jax.make_mesh(shape, axis_names)
+            return jax.make_mesh(shape, axis_names, axis_types=types)
     except Exception:
         pass
     arr = np.asarray(devices).reshape(shape)
-    return Mesh(arr, axis_names)
+    return Mesh(arr, axis_names, axis_types=types)
 
 
 def single_device_mesh() -> Mesh:

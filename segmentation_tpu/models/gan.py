@@ -184,7 +184,7 @@ class GANTrainer(Trainer):
             z = jax.random.uniform(
                 rng, (n, mcfg.zed_dim), jnp.float32, -1.0, 1.0
             ).astype(cdt)
-            return jax.sharding.reshard(z, self._z_sharding(n))
+            return jax.lax.with_sharding_constraint(z, self._z_sharding(n))
 
         self._sample_z = sample_z
 

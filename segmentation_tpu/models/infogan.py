@@ -161,8 +161,8 @@ class InfoGANTrainer(GANTrainer):
             latent = jnp.concatenate([z, cat_onehot, cont], axis=1).astype(cdt)
             # Follow the batch's data partitioning (see gan.py sample_z).
             sh = _z_sharding(n)
-            reshard = lambda t: jax.sharding.reshard(t, sh)  # noqa: E731
-            return reshard(latent), reshard(cat_onehot), reshard(cont)
+            place = lambda t: jax.lax.with_sharding_constraint(t, sh)  # noqa: E731
+            return place(latent), place(cat_onehot), place(cont)
 
         self._sample_latent = sample_latent
 

@@ -169,13 +169,31 @@ def packed_conv3(xp, w2, b, relu=True):
     """Packed-space 3×3 VALID conv: [N,Hp,Wp,4,C] → [N,Hp-1,Wp-1,4,O]."""
     n, hp, wp, s, c = xp.shape
     o4 = w2.shape[-1]
-    y = lax.conv_general_dilated(
-        xp.reshape(n, hp, wp, s * c), w2.astype(xp.dtype),
-        (1, 1), "VALID", dimension_numbers=_DN,
+    y = _conv_batch_sharded(
+        _reshape(xp, (n, hp, wp, s * c)), w2.astype(xp.dtype), (1, 1)
     )
-    y = y.reshape(n, hp - 1, wp - 1, 4, o4 // 4)
+    y = _reshape(y, (n, hp - 1, wp - 1, 4, o4 // 4))
     y = y + b.astype(y.dtype)
     return jax.nn.relu(y) if relu else y
+
+
+def _conv_batch_sharded(x, w, strides):
+    """conv_general_dilated that tolerates explicitly batch-sharded inputs
+    (strided convs can't infer the output sharding under explicit-sharding
+    jit — seen with remat over mesh-placed batches): batch dim keeps its
+    sharding, spatial/channel dims unsharded."""
+    try:
+        return lax.conv_general_dilated(
+            x, w, strides, "VALID", dimension_numbers=_DN,
+        )
+    except Exception:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = x.aval.sharding
+        out = NamedSharding(sh.mesh, P(sh.spec[0], None, None, None))
+        return lax.conv_general_dilated(
+            x, w, strides, "VALID", dimension_numbers=_DN, out_sharding=out,
+        )
 
 
 def strided_packed_conv3(x, w4, b, relu=True):
@@ -184,9 +202,7 @@ def strided_packed_conv3(x, w4, b, relu=True):
     (W-2)/2, 4, O]. Replaces pack2+packed_conv3 with zero layout traffic."""
     n = x.shape[0]
     o4 = w4.shape[-1]
-    y = lax.conv_general_dilated(
-        x, w4.astype(x.dtype), (2, 2), "VALID", dimension_numbers=_DN,
-    )
+    y = _conv_batch_sharded(x, w4.astype(x.dtype), (2, 2))
     y = _reshape(y, (n, y.shape[1], y.shape[2], 4, o4 // 4))
     y = y + b.astype(y.dtype)
     return jax.nn.relu(y) if relu else y
@@ -317,10 +333,7 @@ class UNetS2DInference:
         return packed_conv3(xp, p[f"{name}/w2"], p[f"{name}/b"], relu)
 
     def _std_conv(self, p, name, h, relu=True):
-        y = lax.conv_general_dilated(
-            h, p[f"{name}/w"].astype(h.dtype), (1, 1), "VALID",
-            dimension_numbers=_DN,
-        )
+        y = _conv_batch_sharded(h, p[f"{name}/w"].astype(h.dtype), (1, 1))
         y = y + p[f"{name}/b"].astype(y.dtype)
         return jax.nn.relu(y) if relu else y
 
@@ -458,10 +471,7 @@ class UNetS2DInference:
             if packed_out:
                 return h
             h = unpack2(h)
-        logits = lax.conv_general_dilated(
-            h, p["output/w"].astype(h.dtype), (1, 1), "VALID",
-            dimension_numbers=_DN,
-        )
+        logits = _conv_batch_sharded(h, p["output/w"].astype(h.dtype), (1, 1))
         return logits + p["output/b"].astype(logits.dtype)
 
     def apply_argmax(self, prepared: Dict[str, jnp.ndarray], x: jnp.ndarray):
