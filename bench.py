@@ -214,7 +214,7 @@ def main():
         return best
 
     tsweep = {}
-    for Bt, remat in ((128, True), (64, False)):
+    for Bt, remat in ((128, False), (128, True), (64, False)):
         key = f"B{Bt}{'_remat' if remat else ''}"
         try:
             tsweep[key] = round(train_throughput(Bt, remat), 1)

@@ -214,17 +214,10 @@ def packed_pool(xp):
     return jnp.max(xp, axis=3)
 
 
-# Layout-experiment flags (A/B-tested on hardware via benchmarks/; the
-# defaults are the measured winners):
-#   STRIDED_ENCODER  — packed levels ingest via the 4×4/2 strided conv
-#                      instead of pack2/packed_pool_repack transposes.
-#   PACKED_DECONV    — between two packed decoder levels the 2×2/2 deconv
-#                      consumes the packed tensor directly (einsum + slot
-#                      rearrange) instead of unpack2 + matmul.
-#   ODD_CROP_SLOTS   — odd-offset packed center-crop via 4 contiguous
-#                      slot-phase slices instead of unpack/slice/repack.
-STRIDED_ENCODER = True
-PACKED_DECONV = True
+# The production forward uses the measured A/B winners unconditionally:
+# strided entry convs (no pack transposes), packed-in deconvs, slot-phase
+# odd crops, flat packed layout, dual (concat-free) decoder convs. The
+# legacy 5-D helpers below are kept as oracles for the unit tests.
 ODD_CROP_SLOTS = True
 
 # Strided (d::2) slot ops avoid transposes but lower to expensive gathers on
@@ -298,6 +291,107 @@ def packed_center_crop(skip_p, target_hw, off):
     return pack2(x)
 
 
+# ---------------------------------------------------------------- flat layout
+# [N, Hp, Wp, 4, C] (slot-major) and [N, Hp, Wp, 4C] are the same memory.
+# The forward keeps packed activations FLAT so conv→bias→relu→conv chains
+# stay plain NHWC — XLA assigns consistent layouts and fuses the epilogues
+# (the 5-D interludes showed up as pure relayout `copy` ops ≈10% of the
+# step in the device profile) — and views them 5-D only inside slot ops,
+# where the reshape is a free bitcast.
+
+
+def tile_bias4(b):
+    """[O] → [4O] slot-major flat bias."""
+    return jnp.tile(b, 4)
+
+
+def view5(x4, c):
+    """[N,hp,wp,4C] → [N,hp,wp,4,C] (bitcast view)."""
+    n, hp, wp, _ = x4.shape
+    return _reshape(x4, (n, hp, wp, 4, c))
+
+
+def flat4(x5):
+    """[N,hp,wp,4,C] → [N,hp,wp,4C] (bitcast view)."""
+    n, hp, wp, s, c = x5.shape
+    return _reshape(x5, (n, hp, wp, s * c))
+
+
+def packed_conv3_flat(x4, w2, b, relu=True):
+    """Flat packed-space 3×3 VALID conv: [N,hp,wp,4C] → [N,hp-1,wp-1,4O]."""
+    y = _conv_batch_sharded(x4, w2.astype(x4.dtype), (1, 1))
+    y = y + tile_bias4(b).astype(y.dtype)
+    return jax.nn.relu(y) if relu else y
+
+
+def packed_conv3_dual_flat(a4, u4, w2a, w2b, b, relu=True):
+    """First decoder conv of a packed level: conv(concat(skip, up), W) ==
+    conv(skip, W[:C]) + conv(up, W[C:]) — the concat is never materialized
+    (saves a full activation round-trip through HBM per level)."""
+    ya = _conv_batch_sharded(a4, w2a.astype(a4.dtype), (1, 1))
+    yb = _conv_batch_sharded(u4, w2b.astype(u4.dtype), (1, 1))
+    y = ya + yb + tile_bias4(b).astype(ya.dtype)
+    return jax.nn.relu(y) if relu else y
+
+
+def strided_packed_conv3_flat(x, w4, b, relu=True):
+    """Strided entry conv with FLAT packed output: [N,H,W,C] →
+    [N,(H-2)/2,(W-2)/2, 4O]. Zero layout traffic, zero reshapes."""
+    y = _conv_batch_sharded(x, w4.astype(x.dtype), (2, 2))
+    y = y + tile_bias4(b).astype(y.dtype)
+    return jax.nn.relu(y) if relu else y
+
+
+def packed_pool_flat(x4, c):
+    """2×2/2 max-pool of a flat packed tensor = slot-max → UNPACKED
+    [N, hp, wp, C]."""
+    return jnp.max(view5(x4, c), axis=3)
+
+
+def deconv2_as_matmul_flat(x, wm, b, o, relu=True):
+    """2×2/2 transposed conv, unpacked input → FLAT packed output."""
+    y = jnp.einsum("nijc,ck->nijk", x, wm.astype(x.dtype))
+    y = y + tile_bias4(b).astype(y.dtype)
+    return jax.nn.relu(y) if relu else y
+
+
+def deconv2_packed_in_flat(x4, wm, b, o, relu=True):
+    """2×2/2 transposed conv, FLAT packed input → FLAT packed output (one
+    slot rearrangement of the einsum result)."""
+    n, i, j, c4 = x4.shape
+    y = jnp.einsum(
+        "nijsc,ck->nijsk", view5(x4, c4 // 4), wm.astype(x4.dtype)
+    )
+    y = _reshape(y, (n, i, j, 2, 2, 2, 2, o))  # a, b, d, e, o
+    y = y.transpose(0, 1, 3, 2, 4, 5, 6, 7)   # n, i, a, j, b, d, e, o
+    y = _reshape(y, (n, 2 * i, 2 * j, 4 * o))
+    y = y + tile_bias4(b).astype(y.dtype)
+    return jax.nn.relu(y) if relu else y
+
+
+def packed_center_crop_flat(x4, c, target_hw, off):
+    """Center-crop a FLAT packed tensor to (unpacked) target size. Even
+    offsets are plain row/col slices of the flat tensor; odd offsets are the
+    slot-phase shift (four contiguous 5-D-view slices + stack)."""
+    th, tw = target_hw
+    oh, ow = off
+    if oh % 2 == 0 and ow % 2 == 0:
+        return x4[
+            :, oh // 2 : oh // 2 + th // 2, ow // 2 : ow // 2 + tw // 2
+        ]
+    x5 = view5(x4, c)
+    slots = []
+    for d in range(2):
+        for e in range(2):
+            src_slot = 2 * ((oh + d) % 2) + ((ow + e) % 2)
+            ro = (oh + d) // 2
+            co = (ow + e) // 2
+            slots.append(
+                x5[:, ro : ro + th // 2, co : co + tw // 2, src_slot, :]
+            )
+    return flat4(jnp.stack(slots, axis=3))
+
+
 # ------------------------------------------------------------------ forward
 @dataclasses.dataclass
 class UNetS2DInference:
@@ -326,11 +420,20 @@ class UNetS2DInference:
         return min(2, self.levels)
 
     # ---- conv-site hooks (overridden by quantized subclasses) ------------
+    # Packed activations are FLAT [N, hp, wp, 4C] at every hook boundary.
     def _strided_conv(self, p, name, h, relu=True):
-        return strided_packed_conv3(h, p[f"{name}/w4"], p[f"{name}/b"], relu)
+        return strided_packed_conv3_flat(
+            h, p[f"{name}/w4"], p[f"{name}/b"], relu
+        )
 
-    def _packed_conv(self, p, name, xp, relu=True):
-        return packed_conv3(xp, p[f"{name}/w2"], p[f"{name}/b"], relu)
+    def _packed_conv(self, p, name, x4, relu=True):
+        return packed_conv3_flat(x4, p[f"{name}/w2"], p[f"{name}/b"], relu)
+
+    def _packed_conv_dual(self, p, name, skip4, up4, relu=True):
+        return packed_conv3_dual_flat(
+            skip4, up4, p[f"{name}/w2a"], p[f"{name}/w2b"], p[f"{name}/b"],
+            relu,
+        )
 
     def _std_conv(self, p, name, h, relu=True):
         y = _conv_batch_sharded(h, p[f"{name}/w"].astype(h.dtype), (1, 1))
@@ -350,20 +453,38 @@ class UNetS2DInference:
                 packed += [f"conv{L + 2 + i}_1", f"conv{L + 2 + i}_2"]
         return entry, packed
 
+    def _dual_conv_names(self):
+        """The first decoder conv of each packed level — runs as a dual
+        (skip/up split) conv so the concat is never materialized."""
+        L, pl_ = self.levels, self.packed_levels
+        return [
+            f"conv{L + 2 + i}_1"
+            for i, lvl in enumerate(reversed(range(L)))
+            if lvl < pl_
+        ]
+
     def prepare(self, params: Dict[str, jnp.ndarray]):
         """Pack the affected conv kernels once (host-side numpy)."""
         out = dict(params)
         L, pl_ = self.levels, self.packed_levels
         entry, packed = self._packed_conv_names()
+        dual = set(self._dual_conv_names())
         for name in entry:
             w = np.asarray(params[f"{name}/w"], np.float32)
             out[f"{name}/w4"] = jnp.asarray(pack_conv3_weight_s2(w))
             # legacy pack2-based path weights, kept for the A/B flag
             out[f"{name}/w2"] = jnp.asarray(pack_conv3_weight(w))
         for name in packed:
-            out[f"{name}/w2"] = jnp.asarray(
-                pack_conv3_weight(np.asarray(params[f"{name}/w"], np.float32))
-            )
+            w = np.asarray(params[f"{name}/w"], np.float32)
+            out[f"{name}/w2"] = jnp.asarray(pack_conv3_weight(w))
+            if name in dual:
+                ci = w.shape[2] // 2  # input = concat(skip C, up C)
+                out[f"{name}/w2a"] = jnp.asarray(
+                    pack_conv3_weight(w[:, :, :ci])
+                )
+                out[f"{name}/w2b"] = jnp.asarray(
+                    pack_conv3_weight(w[:, :, ci:])
+                )
         for i, lvl in enumerate(reversed(range(L))):
             if lvl < pl_:
                 up = f"upconv{i + 1}"
@@ -377,12 +498,13 @@ class UNetS2DInference:
     def apply(self, prepared: Dict[str, jnp.ndarray], x: jnp.ndarray,
               packed_out: bool = False):
         """Forward to logits. With packed_out=True (and packed levels active)
-        returns the final decoder tensor still PACKED [N,hp,wp,4,C]."""
+        returns the final decoder tensor still packed, FLAT
+        [N, hp, wp, 4·C]."""
         k = self.cfg.n_kernels
         L, pl_ = self.levels, self.packed_levels
         p = prepared
 
-        # ---- encoder: packed levels --------------------------------------
+        # ---- encoder: packed levels (flat layout) ------------------------
         skips = []
         h = x
         if pl_ and (x.shape[1] % 2 or x.shape[2] % 2):
@@ -390,22 +512,12 @@ class UNetS2DInference:
                 f"space-to-depth U-Net needs even H/W, got "
                 f"{x.shape[1]}x{x.shape[2]}; use models.unet.UNet"
             )
-        if STRIDED_ENCODER:
-            for lvl in range(pl_):
-                hp = self._strided_conv(p, f"conv{lvl + 1}_1", h)
-                hp = self._packed_conv(p, f"conv{lvl + 1}_2", hp)
-                skips.append(("packed", hp))
-                h = packed_pool(hp)
-        elif pl_:
-            hp = pack2(x)
-            for lvl in range(pl_):
-                hp = self._packed_conv(p, f"conv{lvl + 1}_1", hp)
-                hp = self._packed_conv(p, f"conv{lvl + 1}_2", hp)
-                skips.append(("packed", hp))
-                if lvl + 1 < pl_:
-                    hp = packed_pool_repack(hp)  # stay packed, no transpose
-                else:
-                    h = packed_pool(hp)  # hand off to the standard levels
+        for lvl in range(pl_):
+            width = k * (2**lvl)
+            h4 = self._strided_conv(p, f"conv{lvl + 1}_1", h)
+            h4 = self._packed_conv(p, f"conv{lvl + 1}_2", h4)
+            skips.append(("packed", h4))
+            h = packed_pool_flat(h4, width)
 
         # ---- encoder: standard levels + bottleneck ------------------------
         for lvl in range(pl_, L):
@@ -421,34 +533,30 @@ class UNetS2DInference:
             h = self.dropout_fn(h)
 
         # ---- decoder -------------------------------------------------------
+        packed = False  # is `h` a FLAT packed tensor?
         for i, lvl in enumerate(reversed(range(L))):
             up = f"upconv{i + 1}"
             c1, c2 = f"conv{L + 2 + i}_1", f"conv{L + 2 + i}_2"
             kind, skip = skips[lvl]
             width = k * (2**lvl)
             if lvl < pl_:
-                if h.ndim == 5:  # previous packed level stayed packed
-                    if PACKED_DECONV:
-                        hp = deconv2_packed_in(
-                            h, p[f"{up}/wm"], p[f"{up}/b"], width
-                        )
-                    else:
-                        hp = deconv2_as_matmul(
-                            unpack2(h), p[f"{up}/wm"], p[f"{up}/b"], width
-                        )
-                else:
-                    hp = deconv2_as_matmul(
+                if packed:  # previous packed level stayed packed
+                    h4 = deconv2_packed_in_flat(
                         h, p[f"{up}/wm"], p[f"{up}/b"], width
                     )
-                th, tw = hp.shape[1] * 2, hp.shape[2] * 2
-                sk = skip if kind == "packed" else pack2(skip)
+                else:
+                    h4 = deconv2_as_matmul_flat(
+                        h, p[f"{up}/wm"], p[f"{up}/b"], width
+                    )
+                th, tw = h4.shape[1] * 2, h4.shape[2] * 2
+                sk = skip if kind == "packed" else flat4(pack2(skip))
                 sh, sw = sk.shape[1] * 2, sk.shape[2] * 2
                 off = ((sh - th) // 2, (sw - tw) // 2)
-                sk = packed_center_crop(sk, (th, tw), off)
-                hp = jnp.concatenate([sk, hp], axis=-1)
-                hp = self._packed_conv(p, c1, hp)
-                hp = self._packed_conv(p, c2, hp)
-                h = hp  # stays packed; unpacked once at the end if needed
+                sk = packed_center_crop_flat(sk, width, (th, tw), off)
+                h4 = self._packed_conv_dual(p, c1, sk, h4)
+                h4 = self._packed_conv(p, c2, h4)
+                h = h4  # stays packed (flat); unpacked once at the end
+                packed = True
             else:
                 h = lax.conv_transpose(
                     h, jnp.swapaxes(p[f"{up}/w"], 2, 3).astype(h.dtype),
@@ -467,10 +575,10 @@ class UNetS2DInference:
 
         if self.dropout_fn is not None:  # decoder-end MC-dropout site
             h = self.dropout_fn(h)
-        if h.ndim == 5:
+        if packed:
             if packed_out:
                 return h
-            h = unpack2(h)
+            h = unpack2(view5(h, k))
         logits = _conv_batch_sharded(h, p["output/w"].astype(h.dtype), (1, 1))
         return logits + p["output/b"].astype(logits.dtype)
 
@@ -481,9 +589,9 @@ class UNetS2DInference:
         activations. Identical to argmax(apply(...), -1)."""
         p = prepared
         out = self.apply(prepared, x, packed_out=True)
-        if out.ndim != 5:  # no packed levels: plain path
+        if not self.packed_levels:  # no packed levels: plain path
             return jnp.argmax(out, axis=-1).astype(jnp.uint8)
-        hp = out  # [N, hp, wp, 4, C]
+        hp = view5(out, self.cfg.n_kernels)  # [N, hp, wp, 4, C]
         w = p["output/w"][0, 0].astype(hp.dtype)  # [C, nc]
         logits_p = jnp.einsum("nijsc,ck->nijsk", hp, w) + p[
             "output/b"
@@ -571,13 +679,17 @@ class UNetS2D:
                 ),
             )
         entry, packed = fast._packed_conv_names()
+        dual = set(fast._dual_conv_names())
         for name in entry:
-            if STRIDED_ENCODER:
-                p[f"{name}/w4"] = pack_conv3_weight_s2_jnp(p[f"{name}/w"])
+            p[f"{name}/w4"] = pack_conv3_weight_s2_jnp(p[f"{name}/w"])
+        for name in packed:
+            if name in dual:
+                w = p[f"{name}/w"]
+                ci = w.shape[2] // 2
+                p[f"{name}/w2a"] = pack_conv3_weight_jnp(w[:, :, :ci])
+                p[f"{name}/w2b"] = pack_conv3_weight_jnp(w[:, :, ci:])
             else:
                 p[f"{name}/w2"] = pack_conv3_weight_jnp(p[f"{name}/w"])
-        for name in packed:
-            p[f"{name}/w2"] = pack_conv3_weight_jnp(p[f"{name}/w"])
         for i, lvl in enumerate(reversed(range(L))):
             if lvl < fast.packed_levels:
                 up = f"upconv{i + 1}"

@@ -34,8 +34,9 @@ from jax import lax
 
 from segmentation_tpu.models.unet_fast import (
     UNetS2DInference,
-    packed_conv3,
-    strided_packed_conv3,
+    packed_conv3_dual_flat,
+    packed_conv3_flat,
+    strided_packed_conv3_flat,
 )
 
 _DN = ("NHWC", "HWIO", "NHWC")
@@ -69,35 +70,53 @@ def int8_conv(x, wq, w_scale, act_scale, b, relu=True, strides=(1, 1)):
     return y.astype(x.dtype)
 
 
-def int8_packed_conv(xp, wq, w_scale, act_scale, b, relu=True):
-    """Packed-space conv in int8: [N,Hp,Wp,4,C] bf16 → quantize →
+def _tile4(b):
+    """[O] → [4O] slot-major flat bias (matches unet_fast.tile_bias4)."""
+    return jnp.tile(b, 4)
+
+
+def int8_packed_conv(x4, wq, w_scale, act_scale, b, relu=True):
+    """FLAT packed-space conv in int8: [N,Hp,Wp,4C] bf16 → quantize →
     int8 conv (int32 accumulate) → rescale → bias+relu → bf16."""
-    n, hp, wp, s, c = xp.shape
-    o4 = wq.shape[-1]
-    xq = _quant_act(xp.reshape(n, hp, wp, s * c), act_scale)
+    xq = _quant_act(x4, act_scale)
     yi = lax.conv_general_dilated(
         xq, wq, (1, 1), "VALID", dimension_numbers=_DN,
         preferred_element_type=jnp.int32,
     )
     y = yi.astype(jnp.float32) * (act_scale * w_scale)
-    y = y.reshape(n, hp - 1, wp - 1, 4, o4 // 4)
-    y = y + b.astype(jnp.float32)
+    y = y + _tile4(b).astype(jnp.float32)
     if relu:
         y = jax.nn.relu(y)
-    return y.astype(xp.dtype)
+    return y.astype(x4.dtype)
+
+
+def int8_packed_conv_dual(a4, u4, wqa, wsa, asa, wqb, wsb, asb, b,
+                          relu=True):
+    """Dual (skip/up split) decoder conv in int8 — each operand gets its own
+    calibrated activation scale; results rescale to float and sum."""
+    ya = lax.conv_general_dilated(
+        _quant_act(a4, asa), wqa, (1, 1), "VALID", dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (asa * wsa)
+    yb = lax.conv_general_dilated(
+        _quant_act(u4, asb), wqb, (1, 1), "VALID", dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (asb * wsb)
+    y = ya + yb + _tile4(b).astype(jnp.float32)
+    if relu:
+        y = jax.nn.relu(y)
+    return y.astype(a4.dtype)
 
 
 def int8_strided_conv(x, wq, w_scale, act_scale, b, relu=True):
-    """Strided-encoder entry conv (4×4/2, packed output) in int8."""
+    """Strided-encoder entry conv (4×4/2, FLAT packed output) in int8."""
     xq = _quant_act(x, act_scale)
     yi = lax.conv_general_dilated(
         xq, wq, (2, 2), "VALID", dimension_numbers=_DN,
         preferred_element_type=jnp.int32,
     )
-    o4 = wq.shape[-1]
     y = yi.astype(jnp.float32) * (act_scale * w_scale)
-    y = y.reshape(*yi.shape[:3], 4, o4 // 4)
-    y = y + b.astype(jnp.float32)
+    y = y + _tile4(b).astype(jnp.float32)
     if relu:
         y = jax.nn.relu(y)
     return y.astype(x.dtype)
@@ -126,15 +145,24 @@ class UNetS2DInt8(UNetS2DInference):
                 calib_batches: Sequence[jnp.ndarray] = ()):
         prepared = super().prepare(params)
         entry, packed = self._packed_conv_names()
+        dual = set(self._dual_conv_names())
         std = self._std_conv_names()
         for name in entry:
             wq, ws = _quantize_weight(np.asarray(prepared[f"{name}/w4"]))
             prepared[f"{name}/wq4"] = jnp.asarray(wq)
             prepared[f"{name}/wscale4"] = jnp.asarray(ws)
         for name in packed:
-            wq, ws = _quantize_weight(np.asarray(prepared[f"{name}/w2"]))
-            prepared[f"{name}/wq"] = jnp.asarray(wq)
-            prepared[f"{name}/wscale"] = jnp.asarray(ws)
+            if name in dual:
+                for half in ("a", "b"):
+                    wq, ws = _quantize_weight(
+                        np.asarray(prepared[f"{name}/w2{half}"])
+                    )
+                    prepared[f"{name}/wq_{half}"] = jnp.asarray(wq)
+                    prepared[f"{name}/wscale_{half}"] = jnp.asarray(ws)
+            else:
+                wq, ws = _quantize_weight(np.asarray(prepared[f"{name}/w2"]))
+                prepared[f"{name}/wq"] = jnp.asarray(wq)
+                prepared[f"{name}/wscale"] = jnp.asarray(ws)
         for name in std:
             wq, ws = _quantize_weight(np.asarray(prepared[f"{name}/w"]))
             prepared[f"{name}/wq"] = jnp.asarray(wq)
@@ -145,16 +173,20 @@ class UNetS2DInt8(UNetS2DInference):
         # batches no activation scales are written and every site falls back
         # to the float path (uncalibrated int8 would be garbage).
         if len(calib_batches):
-            records: Dict[str, float] = {
-                name: 0.0 for name in entry + packed + std
-            }
+            sites = entry + packed + std + [f"{n}@b" for n in dual]
+            records: Dict[str, float] = {name: 0.0 for name in sites}
             self._calibrating = records
             for x in calib_batches:
                 # run eagerly through the hooks so abs-maxes get recorded
                 self.apply(prepared, jnp.asarray(x))
             self._calibrating = None
             for name in records:
-                prepared[f"{name}/ascale"] = jnp.asarray(
+                key = (
+                    f"{name[:-2]}/ascale_b" if name.endswith("@b")
+                    else f"{name}/ascale_a" if name in dual
+                    else f"{name}/ascale"
+                )
+                prepared[key] = jnp.asarray(
                     np.float32(max(records[name], 1e-6) / 127.0)
                 )
         return prepared
@@ -176,17 +208,37 @@ class UNetS2DInt8(UNetS2DInference):
                 h, p[f"{name}/wq4"], p[f"{name}/wscale4"],
                 p[f"{name}/ascale"], p[f"{name}/b"], relu,
             )
-        return strided_packed_conv3(h, p[f"{name}/w4"], p[f"{name}/b"], relu)
+        return strided_packed_conv3_flat(
+            h, p[f"{name}/w4"], p[f"{name}/b"], relu
+        )
 
-    def _packed_conv(self, p, name, xp, relu=True):
+    def _packed_conv(self, p, name, x4, relu=True):
         if self._calibrating is not None:
-            self._record(name, xp)
+            self._record(name, x4)
         elif f"{name}/wq" in p and f"{name}/ascale" in p:
             return int8_packed_conv(
-                xp, p[f"{name}/wq"], p[f"{name}/wscale"],
+                x4, p[f"{name}/wq"], p[f"{name}/wscale"],
                 p[f"{name}/ascale"], p[f"{name}/b"], relu,
             )
-        return packed_conv3(xp, p[f"{name}/w2"], p[f"{name}/b"], relu)
+        return packed_conv3_flat(x4, p[f"{name}/w2"], p[f"{name}/b"], relu)
+
+    def _packed_conv_dual(self, p, name, skip4, up4, relu=True):
+        if self._calibrating is not None:
+            self._record(name, skip4)
+            self._record(f"{name}@b", up4)
+        elif f"{name}/wq_a" in p and f"{name}/ascale_a" in p:
+            return int8_packed_conv_dual(
+                skip4, up4,
+                p[f"{name}/wq_a"], p[f"{name}/wscale_a"],
+                p[f"{name}/ascale_a"],
+                p[f"{name}/wq_b"], p[f"{name}/wscale_b"],
+                p[f"{name}/ascale_b"],
+                p[f"{name}/b"], relu,
+            )
+        return packed_conv3_dual_flat(
+            skip4, up4, p[f"{name}/w2a"], p[f"{name}/w2b"], p[f"{name}/b"],
+            relu,
+        )
 
     def _std_conv(self, p, name, h, relu=True):
         quantized = f"{name}/wq" in p and name in self._std_names_cache
