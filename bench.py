@@ -214,7 +214,7 @@ def main():
         return best
 
     tsweep = {}
-    for Bt, remat in ((128, False), (128, True), (64, False)):
+    for Bt, remat in ((192, False), (128, False), (128, True)):
         key = f"B{Bt}{'_remat' if remat else ''}"
         try:
             tsweep[key] = round(train_throughput(Bt, remat), 1)
@@ -329,9 +329,12 @@ def main():
             from segmentation_tpu.data.pipeline import DevicePrefetcher
 
             Be = 16
+            best_threads = max(
+                scaling, key=lambda k: scaling[k]["images_per_sec"]
+            )
             ds = native.NativeImageMaskDataSet(
                 img_dir, mask_dir, batch_size=Be, crop_size=512,
-                threads=os.cpu_count() or 1,
+                threads=int(best_threads),
             )
             pf = DevicePrefetcher(ds, depth=2)
             opt_state_e = opt.init(tparams)

@@ -344,8 +344,15 @@ def strided_packed_conv3_flat(x, w4, b, relu=True):
 
 def packed_pool_flat(x4, c):
     """2×2/2 max-pool of a flat packed tensor = slot-max → UNPACKED
-    [N, hp, wp, C]."""
-    return jnp.max(view5(x4, c), axis=3)
+    [N, hp, wp, C]. Formulated as an elementwise max of 4 channel slices of
+    the FLAT tensor (not a 5-D reduce): stays 4D end-to-end, so XLA's layout
+    assignment keeps the neighboring convs in their preferred layouts
+    (the 5-D reduce variant forced relayout copies around every conv)."""
+    s0 = x4[..., 0 * c : 1 * c]
+    s1 = x4[..., 1 * c : 2 * c]
+    s2 = x4[..., 2 * c : 3 * c]
+    s3 = x4[..., 3 * c : 4 * c]
+    return jnp.maximum(jnp.maximum(s0, s1), jnp.maximum(s2, s3))
 
 
 def deconv2_as_matmul_flat(x, wm, b, o, relu=True):

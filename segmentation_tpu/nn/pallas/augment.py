@@ -14,6 +14,17 @@ extent to 128, which 3-channel images cannot satisfy. On such inputs the
 compiled path raises; use data.augment.device_augment (XLA) for small-C
 batches, or this kernel for lane-aligned feature maps. Interpret-mode tests
 lock the semantics either way.
+
+STATUS (round-2 decision, recorded per VERDICT item 9): FOLDED — kept as a
+documented experiment for lane-aligned (C ≥ 128) feature-map cropping only.
+Every staging scheme examined for C=3 images fails the Mosaic minor-dim
+alignment arithmetic: flattening W·C makes crop offsets x·3 ≡ 0 (mod 128)
+→ 128-px crop granularity; channel-first layouts move W into the minor dim
+with the same constraint; padding C to 128 wastes 42× HBM. Production
+augmentation is data.augment.device_augment (XLA) — on this pipeline the
+host JPEG decode (see BENCH_DETAILS pipeline_native_scaling) is orders of
+magnitude below chip throughput, so a device-side crop kernel cannot move
+the end-to-end number regardless.
 """
 
 from __future__ import annotations
