@@ -32,8 +32,11 @@ def main():
     ap.add_argument("--out-dir", default="./pred")
     ap.add_argument("--spatial", action="store_true",
                     help="shard H/W over the device mesh with halo exchange "
-                         "(SAME-padded models: fcn/deconvolution)")
-    ap.add_argument("--halo", type=int, default=32)
+                         "(fcn/deconvolution: interior-exact; unet: the "
+                         "VALID overlap-tile path, exact everywhere)")
+    ap.add_argument("--halo", type=int, default=32,
+                    help="halo radius for SAME models; the VALID U-Net "
+                         "path derives its exact halo automatically")
     args = ap.parse_args()
 
     from segmentation_tpu.core.config import ModelConfig, TrainConfig
@@ -81,18 +84,26 @@ def main():
             (args.batch_size, *hw, 3), dtype=np.float32
         )
 
-    if args.spatial and args.model in ("fcn", "deconvolution"):
+    if args.spatial:
         # Giant-tile path: H/W sharded over ('sph','spw') with ppermute halo
         # exchange (segmentation_tpu.parallel.spatial).
         import jax
         import jax.numpy as jnp
 
         from segmentation_tpu.core.mesh import MeshSpec, make_mesh
-        from segmentation_tpu.parallel import spatial_infer_bayesian
+        from segmentation_tpu.parallel import (
+            spatial_infer_bayesian,
+            spatial_infer_bayesian_valid,
+        )
 
         n_dev = len(jax.devices())
-        sph = 2 if n_dev % 2 == 0 and n_dev > 1 else 1
-        spw = max(1, n_dev // sph) if n_dev % max(1, sph) == 0 else 1
+        if args.model == "unet" and n_dev % 4 == 0:
+            # VALID path needs 2^levels-aligned shards — a square spatial
+            # mesh keeps shards as large (and aligned) as possible.
+            sph = spw = 2
+        else:
+            sph = 2 if n_dev % 2 == 0 and n_dev > 1 else 1
+            spw = max(1, n_dev // sph) if n_dev % max(1, sph) == 0 else 1
         mesh = make_mesh(MeshSpec(data=n_dev // (sph * spw), sph=sph,
                                   spw=spw))
 
@@ -103,17 +114,26 @@ def main():
             )
             return out[0] if isinstance(out, tuple) else out
 
-        halo = min(
-            args.halo,
-            imgs.shape[1] // max(1, sph),
-            imgs.shape[2] // max(1, spw),
-        )
-        if halo != args.halo:
-            print(f"halo clamped to {halo} (shard size limit)")
-        run = spatial_infer_bayesian(
-            apply_fn, trainer.state.params, trainer.state.model_state,
-            mesh, halo=halo, n_samples=args.mc_samples,
-        )
+        if args.model == "unet":
+            # VALID overlap-tile path: pooling-grid-aligned halo derived
+            # from the model's shrinkage; exact vs monolithic everywhere.
+            run = spatial_infer_bayesian_valid(
+                apply_fn, trainer.state.params, trainer.state.model_state,
+                mesh, model.output_hw, levels=model.levels,
+                n_samples=args.mc_samples, batch_axis=None,
+            )
+        else:
+            halo = min(
+                args.halo,
+                imgs.shape[1] // max(1, sph),
+                imgs.shape[2] // max(1, spw),
+            )
+            if halo != args.halo:
+                print(f"halo clamped to {halo} (shard size limit)")
+            run = spatial_infer_bayesian(
+                apply_fn, trainer.state.params, trainer.state.model_state,
+                mesh, halo=halo, n_samples=args.mc_samples,
+            )
         mean, var = run(jax.random.PRNGKey(0), jnp.asarray(imgs))
         mean, var = np.asarray(mean), np.asarray(var)
         output = np.argmax(mean, axis=-1)[..., None].astype(np.float32)
