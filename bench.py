@@ -42,14 +42,27 @@ def main():
         "host_cores": os.cpu_count(),  # pipeline MB/s scales with this
     }
 
+    def flush():
+        """Write details after every section — a mid-run crash (e.g. the
+        remote-compile helper dying with HTTP 500) must not lose the
+        already-measured numbers."""
+        try:
+            with open("BENCH_DETAILS.json", "w") as f:
+                json.dump(details, f, indent=2)
+        except OSError:
+            pass
+
     mcfg = ModelConfig(
         name="unet", n_classes=2, input_dims=(512, 512), n_kernels=32
     )
     model = UNet(mcfg)
     fwd = hk.transform(lambda x: model(x))
 
+    # init at a tiny (shape-compatible) size: conv param shapes are
+    # spatial-independent, and hk init runs the forward EAGERLY (one remote
+    # compile per op) — 192 keeps that cheap and off the compile service.
     params, state = fwd.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 512, 512, 3), jnp.bfloat16),
+        jax.random.PRNGKey(0), jnp.zeros((1, 192, 192, 3), jnp.bfloat16),
         train=False,
     )
     params = jax.tree_util.tree_map(
@@ -110,6 +123,7 @@ def main():
             sweep[str(batch)] = f"failed: {type(e).__name__}: {e}"
     details["unet512_infer_sweep"] = sweep
     details["unet512_infer_images_per_sec"] = round(best, 1)
+    flush()
 
     # --- int8 quantized serving path (not the headline: post-training
     # quantization trades exact parity — ~99% mask agreement — for speed)
@@ -144,24 +158,29 @@ def main():
         details["unet512_int8_images_per_sec"] = round(Kq * 128 / dt, 1)
     except Exception as e:
         details["unet512_int8_images_per_sec"] = f"failed: {e}"
+    flush()
 
     # --- train-step throughput (secondary metric for BENCH_DETAILS) -------
-    # B=128 fits with rematerialization (jax.checkpoint over the forward:
-    # ~⅓ recompute FLOPs for ~half the live activation memory — the round-1
-    # bench OOMed at B=128 by 6MB without it, VERDICT weak #3).
+    # The flat packed layout fits B=128 without remat; remat stays in the
+    # sweep as the config for bigger batches/models.
     import optax
 
     from segmentation_tpu.models.unet_fast import UNetS2D
     from segmentation_tpu.nn.shapes import center_crop_or_pad
     from segmentation_tpu.training import losses as L
 
-    s2d_model = UNetS2D(mcfg)
-    tfwd = hk.transform(lambda x: s2d_model(x))
-    opt = optax.adam(1e-4)
-    tparams, tstate = tfwd.init(
-        jax.random.PRNGKey(1),
-        jnp.zeros((1, 512, 512, 3), jnp.bfloat16), train=True,
-    )
+    try:
+        s2d_model = UNetS2D(mcfg)
+        tfwd = hk.transform(lambda x: s2d_model(x))
+        opt = optax.adam(1e-4)
+        tparams, tstate = tfwd.init(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, 192, 192, 3), jnp.bfloat16), train=True,
+        )
+        train_ready = True
+    except Exception as e:  # e.g. transient remote-compile failure
+        details["unet512_train_sweep"] = f"init failed: {e}"
+        train_ready = False
 
     def train_throughput(Bt, remat, iters=3):
         opt_state = opt.init(tparams)
@@ -213,18 +232,23 @@ def main():
             best = max(best, Kt * Bt / (time.perf_counter() - t0))
         return best
 
-    tsweep = {}
-    for Bt, remat in ((192, False), (128, False), (128, True)):
-        key = f"B{Bt}{'_remat' if remat else ''}"
-        try:
-            tsweep[key] = round(train_throughput(Bt, remat), 1)
-        except Exception as e:
-            tsweep[key] = f"failed: {type(e).__name__}: {e}"
-    details["unet512_train_sweep"] = tsweep
-    best_train = max(
-        (v for v in tsweep.values() if isinstance(v, float)), default=0.0
-    )
-    details["unet512_train_images_per_sec"] = best_train
+    if train_ready:
+        tsweep = {}
+        details["unet512_train_sweep"] = tsweep  # same object; flush sees it
+        for Bt, remat in ((192, False), (128, False), (128, True)):
+            key = f"B{Bt}{'_remat' if remat else ''}"
+            try:
+                tsweep[key] = round(train_throughput(Bt, remat), 1)
+            except Exception as e:
+                tsweep[key] = f"failed: {type(e).__name__}: {e}"
+            flush()
+        details["unet512_train_sweep"] = tsweep
+        best_train = max(
+            (v for v in tsweep.values() if isinstance(v, float)),
+            default=0.0,
+        )
+        details["unet512_train_images_per_sec"] = best_train
+    flush()
 
     # --- Bayesian MC-dropout 1024² tiles (BASELINE.md config #5) ----------
     try:
@@ -240,7 +264,7 @@ def main():
         bfwd = hk.transform(lambda x: bmodel(x))
         bparams, bstate = bfwd.init(
             jax.random.PRNGKey(2),
-            jnp.zeros((1, 1024, 1024, 3), jnp.bfloat16), train=False,
+            jnp.zeros((1, 192, 192, 3), jnp.bfloat16), train=False,
         )
         bparams = jax.tree_util.tree_map(
             lambda p: p.astype(jnp.bfloat16)
@@ -271,6 +295,7 @@ def main():
         details["bayesian_mc8_1024_tiles_per_sec"] = round(Bmc / dt, 2)
     except Exception as e:
         details["bayesian_mc8_1024_tiles_per_sec"] = f"failed: {e}"
+    flush()
 
     # --- END-TO-END data path: disk → C++ loader → prefetch → train step --
     # (VERDICT round-1 item 5: the synthetic headline says what the chip can
@@ -385,6 +410,7 @@ def main():
             ds.close()
     except Exception as e:
         details["e2e_disk_to_step_images_per_sec"] = f"failed: {e}"
+    flush()
 
     # --- deterministic convergence run → recorded mIoU (VERDICT item 6b) --
     try:
@@ -414,6 +440,7 @@ def main():
         details["convergence_steps"] = 150
     except Exception as e:
         details["convergence_miou_synthetic"] = f"failed: {e}"
+    flush()
 
     details["parity_strategy"] = (
         "reference is bit-rotted TF1 (SURVEY §2.9); parity is locked against "
