@@ -235,7 +235,10 @@ def main():
     if train_ready:
         tsweep = {}
         details["unet512_train_sweep"] = tsweep  # same object; flush sees it
-        for Bt, remat in ((192, False), (128, False), (128, True)):
+        # NOTE: no B=192 config — its compile OOMs (backward-pass C=32
+        # tensors pad 4x in lanes, see STATUS), and a failed compile poisons
+        # the backend for every subsequent section of the run.
+        for Bt, remat in ((128, False), (128, True)):
             key = f"B{Bt}{'_remat' if remat else ''}"
             try:
                 tsweep[key] = round(train_throughput(Bt, remat), 1)
