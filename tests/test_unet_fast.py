@@ -237,3 +237,83 @@ def test_unet_s2d_bayesian_dropout_sites_live():
         params_d, state_d, jax.random.PRNGKey(2), x, train=False
     )
     np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
+
+
+def test_flat_helpers_match_5d_oracles():
+    """Flat-layout helpers vs the legacy 5-D helpers they replaced."""
+    from segmentation_tpu.models.unet_fast import (
+        deconv2_packed_in,
+        deconv2_packed_in_flat,
+        flat4,
+        packed_center_crop,
+        packed_center_crop_flat,
+        packed_conv3,
+        packed_conv3_dual_flat,
+        packed_conv3_flat,
+        packed_pool_flat,
+        view5,
+    )
+
+    rng = np.random.default_rng(0)
+    n, hp, wp, c, o = 2, 9, 8, 3, 5
+    xp5 = jnp.asarray(rng.standard_normal((n, hp, wp, 4, c)), jnp.float32)
+    x4 = flat4(xp5)
+
+    # conv
+    w2 = jnp.asarray(rng.standard_normal((2, 2, 4 * c, 4 * o)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((o,)), jnp.float32)
+    ref = packed_conv3(xp5, w2, b)
+    np.testing.assert_allclose(
+        np.asarray(view5(packed_conv3_flat(x4, w2, b), o)),
+        np.asarray(ref), rtol=1e-5, atol=1e-5,
+    )
+
+    # dual conv == conv of concat
+    ca = cb = c
+    wa = jnp.asarray(
+        rng.standard_normal((2, 2, 4 * ca, 4 * o)), jnp.float32
+    )
+    wb = jnp.asarray(
+        rng.standard_normal((2, 2, 4 * cb, 4 * o)), jnp.float32
+    )
+    a5 = jnp.asarray(rng.standard_normal((n, hp, wp, 4, ca)), jnp.float32)
+    u5 = jnp.asarray(rng.standard_normal((n, hp, wp, 4, cb)), jnp.float32)
+    cat5 = jnp.concatenate([a5, u5], axis=-1)
+    # w for concat input interleaves per-slot [a-channels, b-channels]:
+    # build the equivalent concat kernel by stacking along the input dim
+    # per slot
+    wa_s = wa.reshape(2, 2, 4, ca, 4 * o)
+    wb_s = wb.reshape(2, 2, 4, cb, 4 * o)
+    wcat = jnp.concatenate([wa_s, wb_s], axis=3).reshape(
+        2, 2, 4 * (ca + cb), 4 * o
+    )
+    ref = packed_conv3(cat5, wcat, b)
+    got = packed_conv3_dual_flat(flat4(a5), flat4(u5), wa, wb, b)
+    np.testing.assert_allclose(
+        np.asarray(view5(got, o)), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+    # pool
+    np.testing.assert_allclose(
+        np.asarray(packed_pool_flat(x4, c)),
+        np.asarray(jnp.max(xp5, axis=3)),
+        rtol=1e-6,
+    )
+
+    # packed-in deconv
+    wm = jnp.asarray(rng.standard_normal((c, 4 * o)), jnp.float32)
+    bb = jnp.asarray(rng.standard_normal((o,)), jnp.float32)
+    ref = deconv2_packed_in(xp5, wm, bb, o)
+    got = deconv2_packed_in_flat(x4, wm, bb, o)
+    np.testing.assert_allclose(
+        np.asarray(view5(got, o)), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+    # center crop, even and odd offsets
+    for off in ((2, 2), (1, 3), (3, 1)):
+        th, tw = 8, 6
+        ref = packed_center_crop(xp5, (th, tw), off)
+        got = packed_center_crop_flat(x4, c, (th, tw), off)
+        np.testing.assert_array_equal(
+            np.asarray(view5(got, c)), np.asarray(ref)
+        )
