@@ -110,6 +110,8 @@ def main():
             float(infer_many(xs))
             dt = time.perf_counter() - t0
             best = max(best, K * batch / dt)
+        xs.delete()  # free HBM NOW — deferred frees through the tunnel
+        # have left >6 GB resident and OOMed later sections
         return best
 
     best = 0.0
@@ -155,6 +157,7 @@ def main():
         t0 = time.perf_counter()
         float(infer_q(xq))
         dt = time.perf_counter() - t0
+        xq.delete()
         details["unet512_int8_images_per_sec"] = round(Kq * 128 / dt, 1)
     except Exception as e:
         details["unet512_int8_images_per_sec"] = f"failed: {e}"
@@ -230,6 +233,9 @@ def main():
             carry, s = train_many(carry, xs, ys)
             float(s)
             best = max(best, Kt * Bt / (time.perf_counter() - t0))
+        for a in (xs, ys):
+            a.delete()
+        jax.tree_util.tree_map(lambda a: a.delete(), carry)
         return best
 
     if train_ready:
@@ -295,6 +301,7 @@ def main():
         t0 = time.perf_counter()
         float(mc(xb, jax.random.PRNGKey(5)))
         dt = time.perf_counter() - t0
+        xb.delete()
         details["bayesian_mc8_1024_tiles_per_sec"] = round(Bmc / dt, 2)
     except Exception as e:
         details["bayesian_mc8_1024_tiles_per_sec"] = f"failed: {e}"

@@ -342,12 +342,20 @@ def strided_packed_conv3_flat(x, w4, b, relu=True):
     return jax.nn.relu(y) if relu else y
 
 
-def packed_pool_flat(x4, c):
+def packed_pool_flat(x4, c, slices=True):
     """2×2/2 max-pool of a flat packed tensor = slot-max → UNPACKED
-    [N, hp, wp, C]. Formulated as an elementwise max of 4 channel slices of
-    the FLAT tensor (not a 5-D reduce): stays 4D end-to-end, so XLA's layout
-    assignment keeps the neighboring convs in their preferred layouts
-    (the 5-D reduce variant forced relayout copies around every conv)."""
+    [N, hp, wp, C].
+
+    Two formulations, both measured on v5e at 512²/B=128:
+    - ``slices=True``: elementwise max of 4 channel slices of the FLAT
+      tensor. Stays 4D end-to-end so XLA keeps the neighboring convs in
+      their preferred layouts — best for INFERENCE (-2 ms/step).
+    - ``slices=False``: 5-D view + axis reduce — lighter BACKWARD (the
+      slice variant's VJP materializes extra mask buffers), ~11% faster
+      training steps. UNetS2D (the trainable class) picks this one.
+    """
+    if not slices:
+        return jnp.max(view5(x4, c), axis=3)
     s0 = x4[..., 0 * c : 1 * c]
     s1 = x4[..., 1 * c : 2 * c]
     s2 = x4[..., 2 * c : 3 * c]
@@ -421,6 +429,9 @@ class UNetS2DInference:
     # preserved while keeping the fast layout (set by UNetS2D when
     # cfg.bayesian; None = deterministic serving).
     dropout_fn: "object" = None
+    # Pool formulation: lane-sliced (inference winner) vs 5-D reduce
+    # (training winner) — see packed_pool_flat.
+    pool_slices: bool = True
 
     @property
     def packed_levels(self) -> int:
@@ -524,7 +535,7 @@ class UNetS2DInference:
             h4 = self._strided_conv(p, f"conv{lvl + 1}_1", h)
             h4 = self._packed_conv(p, f"conv{lvl + 1}_2", h4)
             skips.append(("packed", h4))
-            h = packed_pool_flat(h4, width)
+            h = packed_pool_flat(h4, width, self.pool_slices)
 
         # ---- encoder: standard levels + bottleneck ------------------------
         for lvl in range(pl_, L):
@@ -671,7 +682,9 @@ class UNetS2D:
             c = width
         declare_conv("output", c, nc, ksz=1)
 
-        fast = UNetS2DInference(self.cfg, self.levels)
+        # Training picks the reduce-formulated pool (lighter backward —
+        # ~11% faster steps at 512²/B=128; see packed_pool_flat).
+        fast = UNetS2DInference(self.cfg, self.levels, pool_slices=False)
         if self.cfg.bayesian:
             # Same MC-dropout sites (and liveness contract) as models.unet:
             # stays stochastic at inference (reference examples/inference.py:
