@@ -422,6 +422,117 @@ def main():
         details["e2e_disk_to_step_images_per_sec"] = f"failed: {e}"
     flush()
 
+    # --- FCN-8s 256² inference (BASELINE config #2 analog) ----------------
+    try:
+        from segmentation_tpu.models.fcn import FCN
+
+        fcfg = ModelConfig(
+            name="fcn", n_classes=2, input_dims=(256, 256), n_kernels=32,
+            fcn_type="8s",
+        )
+        fmodel = FCN(fcfg)
+        ffwd = hk.transform(lambda x: fmodel(x))
+        fparams, fstate = ffwd.init(
+            jax.random.PRNGKey(5),
+            jnp.zeros((1, 256, 256, 3), jnp.bfloat16), train=False,
+        )
+        fparams = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p, fparams,
+        )
+        Kf, Bf = 4, 256
+
+        @jax.jit
+        def infer_f(xs):
+            def one(x):
+                out, _ = ffwd.apply(
+                    fparams, fstate, jax.random.PRNGKey(0), x, train=False
+                )
+                return jnp.argmax(out, -1).astype(jnp.uint8)
+
+            return jax.lax.map(one, xs).sum()
+
+        xf = jax.jit(
+            lambda key: jax.random.uniform(
+                key, (Kf, Bf, 256, 256, 3), jnp.bfloat16
+            )
+        )(jax.random.PRNGKey(6))
+        xf.block_until_ready()
+        float(infer_f(xf))
+        t0 = time.perf_counter()
+        float(infer_f(xf))
+        dt = time.perf_counter() - t0
+        xf.delete()
+        details["fcn8s_256_infer_images_per_sec"] = round(Kf * Bf / dt, 1)
+    except Exception as e:
+        details["fcn8s_256_infer_images_per_sec"] = f"failed: {e}"
+    flush()
+
+    # --- adversarial U-Net training (BASELINE config #4) ------------------
+    try:
+        from segmentation_tpu.core.config import TrainConfig
+        from segmentation_tpu.data.synthetic import SyntheticSegmentation
+        from segmentation_tpu.models.base import SegmentationTrainer
+
+        ahw = (256, 256)
+        acfg = ModelConfig(
+            n_classes=2, input_dims=ahw, n_kernels=32,
+            adversarial_training=True,
+        )
+        atcfg = TrainConfig(
+            save_dir=os.path.join("/tmp", "bench_adv_snap"),
+            learning_rate=1e-4,
+        )
+        Ba = 32
+        ads = SyntheticSegmentation(batch_size=Ba, hw=ahw, seed=1)
+        atrainer = SegmentationTrainer(
+            UNet(acfg), dataset=ads, model_cfg=acfg, train_cfg=atcfg,
+        )
+        atrainer.train_step()  # compile + warm
+        n = 6
+        t0 = time.perf_counter()
+        for _ in range(n):
+            m = atrainer.train_step()
+        dt = time.perf_counter() - t0
+        details["unet256_adversarial_train_images_per_sec"] = round(
+            n * Ba / dt, 1
+        )
+    except Exception as e:
+        details["unet256_adversarial_train_images_per_sec"] = f"failed: {e}"
+    flush()
+
+    # --- MNIST conv autoencoder (BASELINE config #1) ----------------------
+    try:
+        from segmentation_tpu.core.config import TrainConfig
+        from segmentation_tpu.data.datasets import MNISTDataSet
+        from segmentation_tpu.models.autoencoder import Autoencoder
+        from segmentation_tpu.models.base import SegmentationTrainer
+
+        aecfg = ModelConfig(
+            n_classes=2, input_dims=(28, 28), input_channel=1,
+            autoencoder=True, adversarial_training=False,
+            encoder_type="small", zed_dim=32,
+        )
+        aetcfg = TrainConfig(
+            save_dir=os.path.join("/tmp", "bench_ae_snap"),
+            learning_rate=1e-4,
+        )
+        mnist = MNISTDataSet(source_dir="/tmp/bench_mnist", batch_size=128)
+        aet = SegmentationTrainer(
+            Autoencoder(aecfg), dataset=mnist, model_cfg=aecfg,
+            train_cfg=aetcfg,
+        )
+        aet.train_step()
+        n = 20
+        t0 = time.perf_counter()
+        for _ in range(n):
+            aet.train_step()
+        dt = time.perf_counter() - t0
+        details["mnist_autoencoder_steps_per_sec"] = round(n / dt, 1)
+    except Exception as e:
+        details["mnist_autoencoder_steps_per_sec"] = f"failed: {e}"
+    flush()
+
     # --- deterministic convergence run → recorded mIoU (VERDICT item 6b) --
     try:
         from segmentation_tpu.core.config import TrainConfig
