@@ -397,21 +397,41 @@ def main():
                 upd, os_ = opt.update(g, os_, tp)
                 return optax.apply_updates(tp, upd), new_ms, os_, loss
 
-            b = pf.get_batch()
-            tp, ms, os_, loss = train_step_e(
-                tparams, tstate, opt_state_e, b["image"],
-                b["mask"][..., None] if b["mask"].ndim == 3 else b["mask"],
+            # host→device bandwidth of one batch through the tunnel —
+            # the attribution row for the e2e number below.
+            bh = ds.get_batch()
+            t0 = time.perf_counter()
+            xb_ = jax.device_put(bh["image"])
+            xb_.block_until_ready()
+            details["e2e_transfer_MBps"] = round(
+                bh["image"].nbytes / (time.perf_counter() - t0) / 1e6, 1
             )
-            float(loss)  # compile + warm
-            n_steps = 6
+            xb_.delete()
+
+            def fetch():
+                b = pf.get_batch()
+                y = (
+                    b["mask"][..., None]
+                    if b["mask"].ndim == 3 else b["mask"]
+                )
+                return b["image"], y
+
+            # TWO warm steps: the first compiles with uncommitted params,
+            # the second with the step outputs' shardings — timing after
+            # both avoids counting a recompile as data-path time.
+            x, y = fetch()
+            tp, ms, os_, loss = train_step_e(
+                tparams, tstate, opt_state_e, x, y
+            )
+            float(loss)
+            x, y = fetch()
+            tp, ms, os_, loss = train_step_e(tp, ms, os_, x, y)
+            float(loss)
+            n_steps = 5
             t0 = time.perf_counter()
             for _ in range(n_steps):
-                b = pf.get_batch()
-                tp, ms, os_, loss = train_step_e(
-                    tp, ms, os_, b["image"],
-                    b["mask"][..., None]
-                    if b["mask"].ndim == 3 else b["mask"],
-                )
+                x, y = fetch()
+                tp, ms, os_, loss = train_step_e(tp, ms, os_, x, y)
             float(loss)
             dt = time.perf_counter() - t0
             details["e2e_disk_to_step_images_per_sec"] = round(
