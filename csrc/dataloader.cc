@@ -39,7 +39,7 @@
 
 namespace {
 
-constexpr int kVersion = 1;
+constexpr int kVersion = 2;
 
 struct Image {
   int h = 0, w = 0, c = 0;
@@ -125,8 +125,8 @@ bool DecodeAny(const std::string& path, int want_channels, Image* out) {
 // ------------------------------------------------------------------- loader
 struct Sample {
   bool ok = false;
-  std::vector<float> image;   // crop*crop*3, normalized /255
-  std::vector<uint8_t> mask;  // crop*crop*1 (raw pixel values)
+  std::vector<uint8_t> image;  // crop*crop*C raw bytes (cropped/flipped)
+  std::vector<uint8_t> mask;   // crop*crop*1 (raw pixel values)
 };
 
 struct Config {
@@ -162,11 +162,14 @@ class Loader {
     workers_.clear();
   }
 
-  // Fill image_out [B, crop, crop, channels] f32 and mask_out [B, crop,
-  // crop, 1] u8 (mask_out may be null for image-only datasets).
-  int NextBatch(float* image_out, uint8_t* mask_out) {
+  // Fill image_out [B, crop, crop, channels] (f32 normalized /255 OR raw
+  // uint8 staging bytes — 4x less host→device transfer; normalize on
+  // device) and mask_out [B, crop, crop, 1] u8 (may be null for image-only
+  // datasets).
+  int NextBatch(float* image_f32, uint8_t* image_u8, uint8_t* mask_out) {
     const size_t img_elems = size_t(cfg_.crop) * cfg_.crop * cfg_.channels;
     const size_t mask_elems = size_t(cfg_.crop) * cfg_.crop;
+    constexpr float kInv255 = 1.0f / 255.0f;
     for (int b = 0; b < cfg_.batch_size;) {
       Sample s;
       {
@@ -187,8 +190,13 @@ class Loader {
         continue;
       }
       consecutive_failures_ = 0;
-      memcpy(image_out + size_t(b) * img_elems, s.image.data(),
-             img_elems * sizeof(float));
+      if (image_u8) {
+        memcpy(image_u8 + size_t(b) * img_elems, s.image.data(), img_elems);
+      } else if (image_f32) {
+        float* dst = image_f32 + size_t(b) * img_elems;
+        const uint8_t* srcp = s.image.data();
+        for (size_t k = 0; k < img_elems; ++k) dst[k] = srcp[k] * kInv255;
+      }
       if (mask_out && !masks_.empty())
         memcpy(mask_out + size_t(b) * mask_elems, s.mask.data(), mask_elems);
       ++b;
@@ -234,18 +242,16 @@ class Loader {
     const int C = cfg_.channels;
     s.image.resize(size_t(crop) * crop * C);
     if (has_mask) s.mask.resize(size_t(crop) * crop);
-    constexpr float kInv255 = 1.0f / 255.0f;
     for (int r = 0; r < crop; ++r) {
       const uint8_t* src =
           img.data.data() + (size_t(y + r) * img.w + x) * C;
-      float* dst = s.image.data() + size_t(r) * crop * C;
+      uint8_t* dst = s.image.data() + size_t(r) * crop * C;
       if (!flip) {
-        for (int k = 0; k < crop * C; ++k) dst[k] = src[k] * kInv255;
+        memcpy(dst, src, size_t(crop) * C);
       } else {
         for (int col = 0; col < crop; ++col)
           for (int ch = 0; ch < C; ++ch)
-            dst[size_t(col) * C + ch] =
-                src[size_t(crop - 1 - col) * C + ch] * kInv255;
+            dst[size_t(col) * C + ch] = src[size_t(crop - 1 - col) * C + ch];
       }
       if (has_mask) {
         const uint8_t* msrc = mask.data.data() + size_t(y + r) * mask.w + x;
@@ -343,7 +349,16 @@ void* sdl_create(const char* image_paths, const char* mask_paths,
 
 int sdl_next_batch(void* handle, float* image_out, uint8_t* mask_out) {
   if (!handle) return -2;
-  return static_cast<Loader*>(handle)->NextBatch(image_out, mask_out);
+  return static_cast<Loader*>(handle)->NextBatch(image_out, nullptr,
+                                                 mask_out);
+}
+
+// uint8 staging variant: raw cropped bytes, /255 happens on device (4x less
+// host→device transfer than the f32 batch).
+int sdl_next_batch_u8(void* handle, uint8_t* image_out, uint8_t* mask_out) {
+  if (!handle) return -2;
+  return static_cast<Loader*>(handle)->NextBatch(nullptr, image_out,
+                                                 mask_out);
 }
 
 void sdl_stop(void* handle) {

@@ -53,6 +53,12 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--threads", type=int, default=4)
     p.add_argument("--data-seed", type=int, default=5555)
     p.add_argument("--augment-flip", action="store_true")
+    p.add_argument("--native-loader", action="store_true",
+                   help="use the C++ decode/crop worker pool (csrc/) "
+                        "instead of the Python threaded loader")
+    p.add_argument("--uint8-staging", action="store_true",
+                   help="with --native-loader: ship raw uint8 crops to the "
+                        "device (4x less transfer); /255 happens on device")
     p.add_argument("--mnist-dir", default=None,
                    help="use MNISTDataSet from this dir instead of folders")
 
@@ -122,6 +128,27 @@ def _dataset(args, mcfg):
         augment_flip=args.augment_flip,
         image_ext=args.image_ext,
     )
+    if getattr(args, "native_loader", False):
+        from segmentation_tpu.data import native
+
+        if not native.available():
+            raise SystemExit(
+                f"--native-loader: build failed: {native.build_error()}"
+            )
+        common["uint8_images"] = getattr(args, "uint8_staging", False)
+        common.pop("min_holding", None)
+        if needs_masks:
+            if args.mask_dir is None:
+                raise SystemExit(
+                    "--mask-dir required for segmentation models"
+                )
+            return native.NativeImageMaskDataSet(
+                args.image_dir, args.mask_dir, n_classes=args.n_classes,
+                mask_ext=args.mask_ext, **common,
+            )
+        return native.NativeImageDataSet(
+            args.image_dir, n_classes=args.n_classes, **common
+        )
     if needs_masks:
         if args.mask_dir is None:
             raise SystemExit("--mask-dir required for segmentation models")

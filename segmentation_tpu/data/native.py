@@ -47,6 +47,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.sdl_next_batch_u8.restype = ctypes.c_int
+        lib.sdl_next_batch_u8.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.sdl_stop.argtypes = [ctypes.c_void_p]
         lib.sdl_destroy.argtypes = [ctypes.c_void_p]
         lib.sdl_version.restype = ctypes.c_int
@@ -91,7 +97,11 @@ class NativeImageMaskDataSet:
         augment_flip: bool = False,
         mask_divisor: Optional[int] = 255,
         channels: int = 3,
+        uint8_images: bool = False,
     ):
+        """``uint8_images=True`` serves raw cropped bytes instead of
+        normalized float32 — 4× less host→device transfer; the trainers
+        normalize (/255) on device when they see a uint8 image batch."""
         lib = _load()
         if lib is None:
             raise RuntimeError(
@@ -131,8 +141,10 @@ class NativeImageMaskDataSet:
         )
         if not self._handle:
             raise RuntimeError("sdl_create failed")
+        self.uint8_images = uint8_images
         self._img_buf = np.empty(
-            (batch_size, crop_size, crop_size, channels), np.float32
+            (batch_size, crop_size, crop_size, channels),
+            np.uint8 if uint8_images else np.float32,
         )
         self._mask_buf = np.empty(
             (batch_size, crop_size, crop_size, 1), np.uint8
@@ -142,11 +154,18 @@ class NativeImageMaskDataSet:
         return
 
     def get_batch(self) -> Dict[str, np.ndarray]:
-        rc = self._lib.sdl_next_batch(
-            self._handle,
-            self._img_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            self._mask_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        )
+        if self.uint8_images:
+            rc = self._lib.sdl_next_batch_u8(
+                self._handle,
+                self._img_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                self._mask_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
+        else:
+            rc = self._lib.sdl_next_batch(
+                self._handle,
+                self._img_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                self._mask_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
         if rc != 0:
             detail = (
                 " (a full epoch of consecutive decode failures — every "
@@ -192,11 +211,19 @@ class NativeImageDataSet(NativeImageMaskDataSet):
         super().__init__(image_dir, mask_dir=None, **kwargs)
 
     def get_batch(self) -> Dict[str, np.ndarray]:
-        rc = self._lib.sdl_next_batch(
-            self._handle,
-            self._img_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8)),
-        )
+        null_mask = ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8))
+        if self.uint8_images:
+            rc = self._lib.sdl_next_batch_u8(
+                self._handle,
+                self._img_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                null_mask,
+            )
+        else:
+            rc = self._lib.sdl_next_batch(
+                self._handle,
+                self._img_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                null_mask,
+            )
         if rc != 0:
             detail = (
                 " (a full epoch of consecutive decode failures — every "

@@ -251,8 +251,20 @@ class SegmentationTrainer(Trainer):
                 )
             return y
 
+        def to_compute(img):
+            """Images arrive float (already /255-normalized by the loader)
+            or as raw uint8 staging batches (data.native uint8_images=True:
+            4× less host→device transfer) — normalize the latter on device,
+            fused into the step."""
+            dt = self.policy.compute_dtype
+            if img.dtype == jnp.uint8:
+                return img.astype(dt) * (1.0 / 255.0)
+            return img.astype(dt)
+
+        self._to_compute = to_compute
+
         def loss_fn(params, adv_params, model_state, adv_model_state, rng, batch, train):
-            x = batch["image"].astype(self.policy.compute_dtype)
+            x = to_compute(batch["image"])
             k_model, k_adv = jax.random.split(rng)
             out, new_ms = self._fwd.apply(
                 params, model_state, k_model, x, train=train
@@ -373,7 +385,7 @@ class SegmentationTrainer(Trainer):
                 def kld_only(p):
                     out, _ = self._fwd.apply(
                         p, state.model_state, step_rng,
-                        batch["image"].astype(self.policy.compute_dtype),
+                        to_compute(batch["image"]),
                         train=True,
                     )
                     _, aux = out
@@ -542,7 +554,10 @@ class SegmentationTrainer(Trainer):
         self.summary.scalars(step, out, force=True)
         # Image panels (reference models/basemodel.py:424-426)
         probs = jax.device_get(jax.nn.sigmoid(logits.astype(jnp.float32)))
-        self.summary.images(step, "test_x", jax.device_get(batch["image"]))
+        ximg = np.asarray(jax.device_get(batch["image"]))
+        if ximg.dtype == np.uint8:  # uint8 staging batches
+            ximg = ximg.astype(np.float32) / 255.0
+        self.summary.images(step, "test_x", ximg)
         self.summary.images(
             step, "test_out", np.argmax(probs, -1)[..., None] / max(
                 1, self.mcfg.n_classes - 1

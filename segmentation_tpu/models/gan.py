@@ -227,7 +227,12 @@ class GANTrainer(Trainer):
 
         def train_step(state: TrainState, batch):
             # Real images → [-1, 1] to match tanh outputs (see module doc).
-            x = batch["image"].astype(cdt) * 2.0 - 1.0
+            x = batch["image"]
+            if x.dtype == jnp.uint8:  # uint8 staging batches: /255 first
+                x = x.astype(cdt) * (1.0 / 255.0)
+            else:
+                x = x.astype(cdt)
+            x = x * 2.0 - 1.0
             labels = batch.get("label", jnp.zeros((x.shape[0],), jnp.int32))
             rng, k_d, *k_gs = jax.random.split(
                 state.rng, 2 + tcfg.gen_steps_per_disc

@@ -201,7 +201,12 @@ class InfoGANTrainer(GANTrainer):
             return g_gan + mi, (gen_ms1, g_gan, mi)
 
         def train_step(state: TrainState, batch):
-            x = batch["image"].astype(cdt) * 2.0 - 1.0
+            x = batch["image"]
+            if x.dtype == jnp.uint8:  # uint8 staging batches: /255 first
+                x = x.astype(cdt) * (1.0 / 255.0)
+            else:
+                x = x.astype(cdt)
+            x = x * 2.0 - 1.0
             rng, k_d, *k_gs = jax.random.split(
                 state.rng, 2 + tcfg.gen_steps_per_disc
             )

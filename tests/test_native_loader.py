@@ -118,3 +118,38 @@ def test_native_throughput_smoke(folder_pair):
     rate = n / (time.perf_counter() - t0)
     ds.close()
     assert rate > 100, f"native loader too slow: {rate:.0f} crops/s"
+
+
+def test_native_uint8_staging_parity(folder_pair):
+    """uint8_images=True must serve the SAME crops as the float path (same
+    seed → same stream), just unnormalized — and a trainer fed uint8 batches
+    normalizes on device and trains."""
+    img_dir, mask_dir = folder_pair
+    kw = dict(batch_size=4, crop_size=32, threads=2, seed=9)
+    ds_f = native.NativeImageMaskDataSet(img_dir, mask_dir, **kw)
+    ds_u = native.NativeImageMaskDataSet(
+        img_dir, mask_dir, uint8_images=True, **kw
+    )
+    for _ in range(3):
+        bf, bu = ds_f.get_batch(), ds_u.get_batch()
+        assert bu["image"].dtype == np.uint8
+        np.testing.assert_allclose(
+            bu["image"].astype(np.float32) / 255.0, bf["image"],
+            atol=1e-6,
+        )
+        np.testing.assert_array_equal(bu["mask"], bf["mask"])
+    ds_f.close()
+
+    # uint8-fed training: the trainer's device-side /255 kicks in
+    from segmentation_tpu.core.config import ModelConfig, TrainConfig
+    from segmentation_tpu.models.base import SegmentationTrainer
+    from segmentation_tpu.models.fcn import FCN
+
+    mcfg = ModelConfig(n_classes=2, input_dims=(32, 32), n_kernels=4)
+    tr = SegmentationTrainer(
+        FCN(mcfg), dataset=ds_u, model_cfg=mcfg,
+        train_cfg=TrainConfig(save_dir="/tmp/u8snap", learning_rate=1e-3),
+    )
+    m = tr.train_step()
+    assert np.isfinite(m["seg_xentropy"])
+    ds_u.close()
