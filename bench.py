@@ -82,6 +82,11 @@ def main():
 
     K = 8  # batches per dispatch: amortizes launch overhead; all real work
 
+    def _measure_once(fn):
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
+
     def device_batches(k, batch, seed):
         """Test data generated ON DEVICE (host RNG for 400M samples costs
         minutes on this 1-core host and is not what we're measuring)."""
@@ -125,6 +130,27 @@ def main():
             sweep[str(batch)] = f"failed: {type(e).__name__}: {e}"
     details["unet512_infer_sweep"] = sweep
     details["unet512_infer_images_per_sec"] = round(best, 1)
+    flush()
+
+    # serving latency: single small batch per dispatch (B=8)
+    try:
+        @jax.jit
+        def infer_one(x):
+            return fast.apply_argmax(prepared, x).sum()
+
+        x8 = jax.jit(
+            lambda key: jax.random.uniform(
+                key, (8, 512, 512, 3), jnp.bfloat16
+            )
+        )(jax.random.PRNGKey(9))
+        float(infer_one(x8))
+        lat = min(
+            _measure_once(lambda: float(infer_one(x8))) for _ in range(5)
+        )
+        x8.delete()
+        details["unet512_infer_latency_ms_b8"] = round(lat * 1e3, 1)
+    except Exception as e:
+        details["unet512_infer_latency_ms_b8"] = f"failed: {e}"
     flush()
 
     # --- int8 quantized serving path (not the headline: post-training
