@@ -583,9 +583,9 @@ def main():
         )
         aet.train_step()
         n = 20
+        aet.train_steps(n)  # compile the scanned window
         t0 = time.perf_counter()
-        for _ in range(n):
-            aet.train_step()
+        aet.train_steps(n)  # n steps in ONE dispatch (Trainer.train_steps)
         dt = time.perf_counter() - t0
         details["mnist_autoencoder_steps_per_sec"] = round(n / dt, 1)
     except Exception as e:

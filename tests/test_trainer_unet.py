@@ -156,3 +156,39 @@ def test_remat_training_matches(tmp_path):
             m = tr.train_step()
         results.append(m["seg_xentropy"])
     assert results[0] == pytest.approx(results[1], abs=1e-5)
+
+
+def test_train_steps_window_matches_loop(tmp_path):
+    """train_steps(n) (one scanned dispatch) must produce the same
+    trajectory as n train_step() calls with the same data stream."""
+    import jax
+
+    hw = (60, 60)
+    mcfg = ModelConfig(n_classes=2, input_dims=hw, n_kernels=4)
+
+    def make(seed_dir):
+        return SegmentationTrainer(
+            UNet(mcfg, levels=2),
+            dataset=SyntheticSegmentation(batch_size=4, hw=hw, seed=3),
+            model_cfg=mcfg,
+            train_cfg=TrainConfig(
+                save_dir=str(tmp_path / seed_dir), learning_rate=1e-3
+            ),
+        )
+
+    a = make("a")
+    for _ in range(4):
+        ma = a.train_step()
+    b = make("b")
+    mb = b.train_steps(4)
+    assert a.global_step == b.global_step == 4
+    np.testing.assert_allclose(
+        ma["seg_xentropy"], mb["seg_xentropy"], rtol=1e-5
+    )
+    # params identical too (same stream, same math, scan vs loop)
+    la = jax.tree_util.tree_leaves(a.state.params)
+    lb = jax.tree_util.tree_leaves(b.state.params)
+    for pa, pb in zip(la, lb):
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pb), rtol=1e-5, atol=1e-6
+        )
