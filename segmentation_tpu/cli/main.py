@@ -53,6 +53,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--threads", type=int, default=4)
     p.add_argument("--data-seed", type=int, default=5555)
     p.add_argument("--augment-flip", action="store_true")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="scan N optimizer steps per device dispatch "
+                        "(Trainer.train_steps) — amortizes dispatch latency "
+                        "for small models")
     p.add_argument("--native-loader", action="store_true",
                    help="use the C++ decode/crop worker pool (csrc/) "
                         "instead of the Python threaded loader")
@@ -205,13 +209,21 @@ def build_trainer(args, dataset=None, test_dataset=None):
 
 def cmd_train(args):
     trainer = build_trainer(args)
+    spd = max(1, args.steps_per_dispatch)
     print(f"Training {args.model} for {args.epochs} x {args.iters} steps")
     t_start = time.time()
     for epoch in range(args.epochs):
         t_epoch = time.time()
-        for it in range(args.iters):
-            metrics = trainer.train_step()
-            if it % args.test_every == 0:
+        it = 0
+        while it < args.iters:
+            if spd > 1:
+                n = min(spd, args.iters - it)
+                metrics = trainer.train_steps(n)
+                it += n
+            else:
+                metrics = trainer.train_step()
+                it += 1
+            if (it - 1) % args.test_every < (spd if spd > 1 else 1):
                 trainer.test()
         trainer.snapshot()
         print(
