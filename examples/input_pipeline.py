@@ -70,6 +70,16 @@ def main():
             nat = native.NativeImageDataSet(args.image_dir, **kwargs)
         last = bench_loader("native loader", nat, args.batches)
         nat.close()
+        if args.mask_dir:
+            nat8 = native.NativeImageMaskDataSet(
+                args.image_dir, args.mask_dir, uint8_images=True, **kwargs
+            )
+        else:
+            nat8 = native.NativeImageDataSet(
+                args.image_dir, uint8_images=True, **kwargs
+            )
+        bench_loader("native loader (uint8 staging)", nat8, args.batches)
+        nat8.close()
     else:
         print(f"native loader unavailable: {native.build_error()}")
 

@@ -26,6 +26,43 @@ class Args:
             setattr(self, k, v)
 
 
+def test_build_trainer_native_uint8(tmp_path):
+    """--native-loader --uint8-staging through the CLI factory: uint8
+    batches feed the trainer, which normalizes on device."""
+    import os
+
+    from segmentation_tpu.data import native as native_mod
+
+    if not native_mod.available():
+        pytest.skip(f"native loader unavailable: {native_mod.build_error()}")
+    import cv2
+
+    img_dir = tmp_path / "f"
+    mask_dir = tmp_path / "l"
+    img_dir.mkdir(), mask_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        cv2.imwrite(
+            str(img_dir / f"{i}.jpg"),
+            rng.integers(0, 255, (80, 80, 3), dtype=np.uint8),
+        )
+        cv2.imwrite(
+            str(mask_dir / f"{i}.png"),
+            rng.integers(0, 2, (80, 80), dtype=np.uint8) * 255,
+        )
+    args = Args(
+        model="fcn", crop_size=64, batch_size=2,
+        image_dir=str(img_dir), mask_dir=str(mask_dir),
+        save_dir=str(tmp_path / "snap"),
+        native_loader=True, uint8_staging=True,
+    )
+    tr = build_trainer(args)
+    assert tr.dataset.get_batch()["image"].dtype == np.uint8
+    m = tr.train_step()
+    assert all(np.isfinite(v) for v in m.values()), m
+
+
+
 @pytest.mark.parametrize(
     "model,kw",
     [
