@@ -112,13 +112,31 @@ def shard_batch(mesh: Mesh, tree):
     """Place a host pytree of batch arrays onto the mesh, batch-sharded.
     Batches not divisible by the 'data' axis are replicated instead (small
     debug batches; production batch sizes are multiples of the mesh). The
-    fallback warns once — on a real mesh it is a silent n-fold slowdown."""
+    fallback warns once — on a real mesh it is a silent n-fold slowdown.
+
+    Multi-host runs are transparent: with ``jax.process_count() > 1`` the
+    tree is the PER-HOST local batch and assembly goes through
+    ``parallel.hosts.assemble_global_batch`` (DCN-aware global stitching)."""
+    if jax.process_count() > 1:
+        from segmentation_tpu.parallel import hosts
+
+        return hosts.assemble_global_batch(mesh, tree)
     sh = batch_sharding(mesh)
     vec = vector_batch_sharding(mesh)
     data_size = mesh.shape.get("data", 1)
 
     def _put(x):
         global _warned_replicated_batch
+        if isinstance(x, jax.Array) and not x.is_deleted():
+            # Already a device array (e.g. DevicePrefetcher output):
+            # device_put moves/reshard only if needed — never bounce
+            # through host numpy.
+            s = sh if x.ndim == 4 else (vec if x.ndim >= 1 else None)
+            if s is not None and x.ndim >= 1 and x.shape[0] % max(
+                1, data_size
+            ) == 0:
+                return x if x.sharding == s else jax.device_put(x, s)
+            return x
         x = np.asarray(x)
         if x.ndim >= 1 and x.shape[0] % max(1, data_size) == 0:
             s = sh if x.ndim == 4 else vec

@@ -532,9 +532,13 @@ class SegmentationTrainer(Trainer):
         print(f"{self.model_name}: {n_params:,} parameters")
 
     # ------------------------------------------------------------------ steps
-    def train_step(self) -> Dict[str, float]:
+    def train_step(self, batch=None) -> Dict[str, float]:
+        """One optimizer step. ``batch``: optional pre-placed batch dict
+        (device arrays, e.g. from assemble_global_batch on a pod slice);
+        default fetches from the trainer's dataset."""
         t0 = time.perf_counter()
-        batch = self._next_batch(self.dataset)
+        if batch is None:
+            batch = self._next_batch(self.dataset)
         self.state, metrics = self._train_step(self.state, batch)
         step = self.global_step  # device sync point
         metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
