@@ -39,7 +39,7 @@
 
 namespace {
 
-constexpr int kVersion = 2;
+constexpr int kVersion = 3;
 
 struct Image {
   int h = 0, w = 0, c = 0;
@@ -126,6 +126,10 @@ bool DecodeAny(const std::string& path, int want_channels, Image* out) {
 struct Sample {
   bool ok = false;
   std::vector<uint8_t> image;  // crop*crop*C raw bytes (cropped/flipped)
+  std::vector<float> imagef;   // /255 floats, pre-converted in the worker
+                               // when the loader is configured for f32
+                               // output (keeps the conversion parallel —
+                               // the consumer thread only memcpys)
   std::vector<uint8_t> mask;   // crop*crop*1 (raw pixel values)
 };
 
@@ -137,6 +141,7 @@ struct Config {
   int capacity = 64;     // decoded samples buffered ahead
   int flip = 0;          // joint horizontal flip augmentation
   int channels = 3;      // image channels
+  int want_f32 = 1;      // pre-convert /255 floats in the workers
 };
 
 class Loader {
@@ -194,8 +199,12 @@ class Loader {
         memcpy(image_u8 + size_t(b) * img_elems, s.image.data(), img_elems);
       } else if (image_f32) {
         float* dst = image_f32 + size_t(b) * img_elems;
-        const uint8_t* srcp = s.image.data();
-        for (size_t k = 0; k < img_elems; ++k) dst[k] = srcp[k] * kInv255;
+        if (!s.imagef.empty()) {  // worker pre-converted (want_f32 path)
+          memcpy(dst, s.imagef.data(), img_elems * sizeof(float));
+        } else {  // uint8-configured loader asked for f32: convert here
+          const uint8_t* srcp = s.image.data();
+          for (size_t k = 0; k < img_elems; ++k) dst[k] = srcp[k] * kInv255;
+        }
       }
       if (mask_out && !masks_.empty())
         memcpy(mask_out + size_t(b) * mask_elems, s.mask.data(), mask_elems);
@@ -263,6 +272,13 @@ class Loader {
         }
       }
     }
+    if (cfg_.want_f32) {  // parallel /255 in the worker (ADR: the consumer
+      // thread is the serial bottleneck on multi-core hosts)
+      constexpr float kInv = 1.0f / 255.0f;
+      s.imagef.resize(s.image.size());
+      for (size_t k = 0; k < s.image.size(); ++k)
+        s.imagef[k] = s.image[k] * kInv;
+    }
     s.ok = true;
     return s;
   }
@@ -316,7 +332,7 @@ int sdl_version() { return kVersion; }
 // paths are '\n'-joined; mask_paths may be null/empty for image-only.
 void* sdl_create(const char* image_paths, const char* mask_paths,
                  int batch_size, int crop, int threads, uint64_t seed,
-                 int capacity, int flip, int channels) {
+                 int capacity, int flip, int channels, int want_f32) {
   auto split = [](const char* joined) {
     std::vector<std::string> out;
     if (!joined || !*joined) return out;
@@ -344,6 +360,7 @@ void* sdl_create(const char* image_paths, const char* mask_paths,
   cfg.capacity = capacity > 2 * batch_size ? capacity : 2 * batch_size;
   cfg.flip = flip;
   cfg.channels = channels;
+  cfg.want_f32 = want_f32;
   return new Loader(std::move(images), std::move(masks), cfg);
 }
 

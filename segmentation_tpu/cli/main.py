@@ -38,6 +38,9 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--bayesian", action="store_true")
     p.add_argument("--autoencoder", action="store_true")
     p.add_argument("--adversarial-training", action="store_true")
+    p.add_argument("--adversarial-update-every", type=int, default=1,
+                   help="update the Luc adversary every k-th step (low "
+                        "update frequency, reference Readme.md:86)")
     p.add_argument("--save-dir", default="./snapshot")
     p.add_argument("--log-dir", default=None)
     p.add_argument("--load-snapshot", action="store_true")
@@ -95,6 +98,9 @@ def _configs(args):
         load_snapshot=args.load_snapshot,
         load_snapshot_from=args.load_snapshot_from,
         seed=args.seed,
+        adversarial_update_every=getattr(
+            args, "adversarial_update_every", 1
+        ),
     )
     return mcfg, tcfg
 
@@ -212,6 +218,13 @@ def cmd_train(args):
     spd = max(1, args.steps_per_dispatch)
     print(f"Training {args.model} for {args.epochs} x {args.iters} steps")
     t_start = time.time()
+    # Test cadence: fire test() every `test_every` optimizer steps (first
+    # at step 1, like the reference's step_start eval). A monotone
+    # next-test counter replaces modulo arithmetic, which misfired on
+    # ragged final windows; a dispatch window crossing several cadence
+    # points fires test() once (it evaluates current params — repeating
+    # it at the same step would be identical).
+    next_test_at = 1  # reference runs test at the first step (step_start)
     for epoch in range(args.epochs):
         t_epoch = time.time()
         it = 0
@@ -223,8 +236,11 @@ def cmd_train(args):
             else:
                 metrics = trainer.train_step()
                 it += 1
-            if (it - 1) % args.test_every < (spd if spd > 1 else 1):
+            done = epoch * args.iters + it  # global optimizer steps done
+            if done >= next_test_at:
                 trainer.test()
+                while next_test_at <= done:
+                    next_test_at += args.test_every
         trainer.snapshot()
         print(
             f"epoch {epoch}: {time.time() - t_epoch:.1f}s last={metrics}"

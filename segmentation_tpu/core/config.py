@@ -111,6 +111,11 @@ class TrainConfig:
     adam_beta1: float = 0.9
     gan_adam_beta1: float = 0.5  # reference models/gan.py:182-183
     adv_lambda: float = 2.0  # reference models/basemodel.py:279
+    # Update the Luc adversary only every k-th step (the reference keeps
+    # adversarial_train_list separate from train_op_list exactly so the
+    # driver can step the adversary less often — models/basemodel.py:353-355,
+    # Readme.md:86 "low LR / lower update frequency"). 1 = every step.
+    adversarial_update_every: int = 1
     gen_steps_per_disc: int = 2  # reference models/gan.py:229-230
     load_snapshot: bool = False
     load_snapshot_from: Optional[str] = None

@@ -53,6 +53,41 @@ def load_images(paths: Sequence[str], batchsize: int, crop_size: int,
     return np.stack(out).astype(np.float32) / 255.0
 
 
+def _resize_by_ratio(img: np.ndarray, mask: Optional[np.ndarray],
+                     ratio: float):
+    """Decode-time downscale: crop first, then resize by ``ratio``
+    (reference utils/datasets.py:158-162 — commented out there, but the
+    knob is part of the dataset contract at :104). Images resize
+    bilinearly, masks nearest (labels must not blend)."""
+    if ratio == 1.0:
+        return img, mask
+    h, w = img.shape[:2]
+    oh, ow = max(1, int(round(h * ratio))), max(1, int(round(w * ratio)))
+    mask_had_channel = mask is not None and mask.ndim == 3
+    try:
+        import cv2
+
+        img = cv2.resize(img, (ow, oh), interpolation=cv2.INTER_LINEAR)
+        if mask is not None:
+            mask = cv2.resize(mask, (ow, oh),
+                              interpolation=cv2.INTER_NEAREST)
+    except ImportError:
+        from PIL import Image
+
+        img = np.asarray(
+            Image.fromarray(img).resize((ow, oh), Image.BILINEAR)
+        )
+        if mask is not None:
+            mask = np.asarray(
+                Image.fromarray(np.squeeze(mask)).resize(
+                    (ow, oh), Image.NEAREST
+                )
+            )
+    if mask_had_channel and mask.ndim == 2:  # cv2/PIL drop the [...,1] dim
+        mask = mask[..., None]
+    return img, mask
+
+
 class _ThreadedPairLoader:
     """Worker pool: draws (image, mask) path pairs in paired-shuffled order,
     decodes + crops on the host, and fills a bounded buffer.
@@ -72,6 +107,7 @@ class _ThreadedPairLoader:
         seed: int,
         augment_flip: bool,
         grayscale_mask: bool = True,
+        ratio: float = 1.0,
     ):
         self.image_names = image_names
         self.mask_names = mask_names
@@ -82,6 +118,7 @@ class _ThreadedPairLoader:
         self.seed = seed
         self.augment_flip = augment_flip
         self.grayscale_mask = grayscale_mask
+        self.ratio = ratio
 
         self._buffer: "queue.Queue" = queue.Queue(maxsize=self.capacity)
         self._stop = threading.Event()
@@ -129,6 +166,7 @@ class _ThreadedPairLoader:
                 img, mask = host_joint_random_crop(
                     rng, img, mask, self.crop_size, flip=self.augment_flip
                 )
+                img, mask = _resize_by_ratio(img, mask, self.ratio)
             except Exception as e:  # unreadable file → sentinel keeps the
                 # global-order reorder buffer gap-free
                 print(f"[data] worker {worker_id}: skipping {img_path}: {e}")
@@ -260,6 +298,7 @@ class ImageMaskDataSet:
             threads,
             seed,
             augment_flip,
+            ratio=ratio,
         )
 
     def set_tf_sess(self, sess):  # API-familiarity no-op
@@ -316,9 +355,10 @@ class ImageDataSet:
         self.batch_size = batch_size
         self.crop_size = crop_size
         self.n_classes = n_classes
+        self.ratio = ratio
         self._loader = _ThreadedPairLoader(
             image_names, None, crop_size, capacity, min_holding, threads,
-            seed, augment_flip,
+            seed, augment_flip, ratio=ratio,
         )
 
     def set_tf_sess(self, sess):

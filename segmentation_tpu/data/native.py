@@ -23,6 +23,50 @@ _SO = os.path.abspath(os.path.join(_CSRC, "build", "libsegdl.so"))
 _lib = None
 _build_error: Optional[str] = None
 
+# The C ABI version this binding speaks (csrc/dataloader.cc kVersion). A
+# stale build/libsegdl.so from an older checkout would otherwise load and
+# fail later with an opaque missing-symbol error.
+_ABI_VERSION = 3
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    # Version gate FIRST: every symbol below may be missing/different on a
+    # stale .so. getattr on a CDLL raises AttributeError for absent symbols.
+    ver = lib.sdl_version()
+    if ver != _ABI_VERSION:
+        raise RuntimeError(
+            f"libsegdl.so ABI version {ver} != expected {_ABI_VERSION} "
+            "(stale build)"
+        )
+    lib.sdl_create.restype = ctypes.c_void_p
+    lib.sdl_create.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.sdl_next_batch.restype = ctypes.c_int
+    lib.sdl_next_batch.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.sdl_next_batch_u8.restype = ctypes.c_int
+    lib.sdl_next_batch_u8.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.sdl_stop.argtypes = [ctypes.c_void_p]
+    lib.sdl_destroy.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def _make(force: bool = False) -> None:
+    cmd = ["make", "-C", os.path.abspath(_CSRC)]
+    if force:
+        cmd.append("-B")
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _build_error
@@ -30,32 +74,23 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     try:
         if not os.path.exists(_SO):
-            subprocess.run(
-                ["make", "-C", os.path.abspath(_CSRC)],
-                check=True, capture_output=True, text=True,
+            _make()
+        try:
+            lib = _bind(ctypes.CDLL(_SO))
+        except (RuntimeError, AttributeError):
+            # Stale .so (old ABI): rebuild from source and load the fresh
+            # binary under a unique path — dlopen caches by pathname, so
+            # re-CDLL'ing the same file could return the old mapping.
+            import shutil
+            import tempfile
+
+            _make(force=True)
+            tmp = tempfile.NamedTemporaryFile(
+                suffix=".so", prefix="libsegdl_", delete=False
             )
-        lib = ctypes.CDLL(_SO)
-        lib.sdl_create.restype = ctypes.c_void_p
-        lib.sdl_create.argtypes = [
-            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int,
-        ]
-        lib.sdl_next_batch.restype = ctypes.c_int
-        lib.sdl_next_batch.argtypes = [
-            ctypes.c_void_p,
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_uint8),
-        ]
-        lib.sdl_next_batch_u8.restype = ctypes.c_int
-        lib.sdl_next_batch_u8.argtypes = [
-            ctypes.c_void_p,
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.POINTER(ctypes.c_uint8),
-        ]
-        lib.sdl_stop.argtypes = [ctypes.c_void_p]
-        lib.sdl_destroy.argtypes = [ctypes.c_void_p]
-        lib.sdl_version.restype = ctypes.c_int
+            tmp.close()
+            shutil.copy2(_SO, tmp.name)
+            lib = _bind(ctypes.CDLL(tmp.name))
         _lib = lib
     except Exception as e:  # no toolchain / libs — Python loader fallback
         _build_error = str(e)
@@ -138,6 +173,7 @@ class NativeImageMaskDataSet:
             "\n".join(mask_names).encode(),
             batch_size, crop_size, threads, seed,
             min(capacity, 4 * batch_size + 64), int(augment_flip), channels,
+            int(not uint8_images),  # want_f32: workers pre-convert /255
         )
         if not self._handle:
             raise RuntimeError("sdl_create failed")

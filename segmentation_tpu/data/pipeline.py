@@ -29,9 +29,19 @@ from segmentation_tpu.core import mesh as mesh_lib
 
 class DevicePrefetcher:
     """Wraps a host batch iterator; keeps ``depth`` batches resident on
-    device (batch-sharded over the mesh). jax.device_put is async — the
-    transfer overlaps with the running step; consuming code just sees
-    device arrays that are already (or nearly) there."""
+    device (batch-sharded over the mesh).
+
+    The fetch + ``device_put`` run on a dedicated STAGING THREAD, not the
+    consumer: on a single-core host the consumer thread is also the thread
+    dispatching TPU steps, and doing the host→device copy there serializes
+    transfer with dispatch (measured as the round-2 e2e gap — 8.7 img/s
+    e2e vs ~90 img/s loader-alone). The staging thread holds the GIL only
+    for the numpy view + async device_put enqueue; decode workers (C++ or
+    loader threads) and the device transfer proceed concurrently with the
+    training step. ``jax.device_put`` is itself async, so up to ``depth``
+    transfers are in flight behind the running step."""
+
+    _SENTINEL = object()
 
     def __init__(self, source, mesh=None, depth: int = 2):
         # Accept either a dataset object (get_batch + attrs, delegated) or a
@@ -40,7 +50,12 @@ class DevicePrefetcher:
         self.source = iter(source)
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
         self.depth = max(1, depth)
-        self._fifo: collections.deque = collections.deque()
+        self._q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._stage, daemon=True, name="seg-device-prefetch"
+        )
+        self._started = False
 
     def __getattr__(self, name):
         base = self.__dict__.get("_base")
@@ -48,25 +63,53 @@ class DevicePrefetcher:
             return getattr(base, name)
         raise AttributeError(name)
 
-    def _enqueue_one(self):
-        batch = next(self.source)
-        self._fifo.append(mesh_lib.shard_batch(self.mesh, batch))
+    def _stage(self):
+        try:
+            while not self._stop.is_set():
+                try:
+                    batch = next(self.source)
+                except StopIteration:
+                    self._put(self._SENTINEL)
+                    return
+                self._put(mesh_lib.shard_batch(self.mesh, batch))
+        except BaseException as e:  # surface worker crashes to the consumer
+            self._put(e)
+
+    def _put(self, item):
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.2)
+                return
+            except queue.Full:
+                continue
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        while len(self._fifo) < self.depth:
-            self._enqueue_one()
-        out = self._fifo.popleft()
-        try:
-            self._enqueue_one()
-        except StopIteration:
-            pass
+        if not self._started:
+            self._started = True
+            self._thread.start()
+        out = self._q.get()
+        if out is self._SENTINEL:
+            raise StopIteration
+        if isinstance(out, BaseException):
+            raise RuntimeError("prefetch staging thread failed") from out
         return out
 
     def get_batch(self):
         return next(self)
+
+    def stop(self):
+        self._stop.set()
+        try:  # drain so the staging thread unblocks
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        base = self.__dict__.get("_base")
+        if base is not None and hasattr(base, "stop"):
+            base.stop()
 
 
 class GeneratorDataSet:

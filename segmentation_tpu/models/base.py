@@ -373,6 +373,21 @@ class SegmentationTrainer(Trainer):
                     g_adv, state.adv_opt_state, state.adv_params
                 )
                 adv_params = optax.apply_updates(state.adv_params, adv_updates)
+                k_every = int(
+                    getattr(tcfg, "adversarial_update_every", 1) or 1
+                )
+                if k_every > 1:
+                    # Step the adversary only every k-th optimizer step
+                    # (reference models/basemodel.py:353-355 keeps the
+                    # adversary's train op out of the main train list for
+                    # exactly this). lax.cond inside the jitted step: the
+                    # skipped branch keeps params AND optimizer state, so
+                    # Adam moments don't advance on skipped steps.
+                    adv_params, adv_opt_state = jax.lax.cond(
+                        state.step % k_every == 0,
+                        lambda: (adv_params, adv_opt_state),
+                        lambda: (state.adv_params, state.adv_opt_state),
+                    )
             else:
                 adv_params, adv_opt_state = (
                     state.adv_params,

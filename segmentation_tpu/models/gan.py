@@ -225,7 +225,7 @@ class GANTrainer(Trainer):
             )
             return g_loss, gen_ms1
 
-        def train_step(state: TrainState, batch):
+        def train_step(state: TrainState, batch, with_grads: bool = False):
             # Real images → [-1, 1] to match tanh outputs (see module doc).
             x = batch["image"]
             if x.dtype == jnp.uint8:  # uint8 staging batches: /255 first
@@ -272,8 +272,7 @@ class GANTrainer(Trainer):
                 "gen_loss": g_loss,
                 "loss_real": loss_real,
                 "loss_fake": loss_fake,
-                # scalar stand-ins for the reference's per-variable gradient
-                # histograms (models/gan.py:148-156) — computed in-step
+                # in-step scalar gradient norms (always cheap to log)
                 "disc_grad_norm": optax.global_norm(g_d),
                 "gen_grad_norm": optax.global_norm(g_g),
             }
@@ -288,9 +287,23 @@ class GANTrainer(Trainer):
                 adv_opt_state=adv_opt_state,
                 extra_opt_state=state.extra_opt_state,
             )
+            if with_grads:
+                # Per-variable gradients shipped to host ONLY on summary
+                # steps (reference models/gan.py:148-156 histograms every
+                # var AND its grad); the hot-path jit never materializes
+                # these outputs.
+                return new_state, metrics, {"dis": g_d, "gen": g_g}
             return new_state, metrics
 
-        self._train_step = jax.jit(train_step, donate_argnums=0)
+        import functools as _ft
+
+        self._train_step = jax.jit(
+            _ft.partial(train_step, with_grads=False), donate_argnums=0
+        )
+        # Summary-cadence variant: same step, also returns the grads.
+        self._train_step_grads = jax.jit(
+            _ft.partial(train_step, with_grads=True), donate_argnums=0
+        )
 
         def dream_fn(gen_params, gen_ms, z, labels):
             lab = onehot(labels) if self.conditional else None
@@ -343,12 +356,32 @@ class GANTrainer(Trainer):
     def train_step(self) -> Dict[str, float]:
         t0 = time.perf_counter()
         batch = self._next_batch_gan()
-        self.state, metrics = self._train_step(self.state, batch)
+        # Grad histograms ride the summary cadence: the with-grads program
+        # materializes per-variable gradients as extra outputs; the normal
+        # step never ships them off device.
+        want_grads = self.summary.should_write(self.global_step + 1)
+        if want_grads:
+            self.state, metrics, grads = self._train_step_grads(
+                self.state, batch
+            )
+        else:
+            self.state, metrics = self._train_step(self.state, batch)
         step = self.global_step
         metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
         self.summary.scalars(
             step, {**metrics, "step_time_s": time.perf_counter() - t0}
         )
+        if want_grads:
+            for name, g in grads["gen"].items():
+                if "_bn" not in name:
+                    self.summary.histogram(
+                        step, f"gen/{name}/grad", np.asarray(g)
+                    )
+            for name, g in grads["dis"].items():
+                if "_bn" not in name:
+                    self.summary.histogram(
+                        step, f"dis/{name}/grad", np.asarray(g)
+                    )
         return metrics
 
     def _next_batch_gan(self):

@@ -173,3 +173,19 @@ def test_device_prefetcher(folder_pair):
     assert isinstance(b["image"], jax.Array)
     assert b["image"].shape == (8, 32, 32, 3)
     ds.stop()
+
+
+def test_ratio_downscale(folder_pair):
+    """ratio=0.5: crop first, then decode-time downscale — images
+    bilinear, masks nearest (labels stay in {0,1}). Reference
+    utils/datasets.py:104,158-162 (the knob's contract)."""
+    img_dir, mask_dir = folder_pair
+    ds = ImageMaskDataSet(
+        img_dir, mask_dir, batch_size=4, crop_size=32, ratio=0.5,
+        capacity=16, min_holding=4, threads=2, seed=1,
+    )
+    b = ds.get_batch()
+    assert b["image"].shape == (4, 16, 16, 3)
+    assert b["mask"].shape == (4, 16, 16, 1)
+    assert set(np.unique(b["mask"])).issubset({0, 1})
+    ds.stop()

@@ -71,3 +71,36 @@ def test_gan_snapshot_restore(tmp_path):
     tr2.load_snapshot = True
     tr2._init_saver()
     assert tr2.global_step == 1
+
+
+def test_gan_grad_histograms_at_summary_cadence(tmp_path):
+    """Per-variable GRADIENT histograms ship at summary cadence only
+    (reference models/gan.py:148-156 logs every non-BN var and its grad);
+    off-cadence steps must not ship gradients off device."""
+    hw = (28, 28)
+    mcfg = ModelConfig(
+        name="gan", input_dims=hw, input_channel=1, n_kernels=8, zed_dim=16
+    )
+    tcfg = TrainConfig(
+        save_dir=str(tmp_path / "s"), log_dir=str(tmp_path / "logs"),
+        learning_rate=1e-4, summary_iter=2,
+    )
+    ds = SyntheticImages(batch_size=8, hw=hw, channels=1, seed=5)
+    tr = GANTrainer(None, dataset=ds, model_cfg=mcfg, train_cfg=tcfg)
+
+    calls = []
+    tr.summary.histogram = lambda step, tag, values: calls.append(
+        (step, tag, np.asarray(values).size)
+    )
+    tr.train_step()  # step 1: off-cadence (summary_iter=2)
+    assert not calls
+    tr.train_step()  # step 2: cadence hit -> grads for every non-BN var
+    tags = {t for _, t, _ in calls}
+    assert any(t.startswith("gen_") or "gen/" in t for t in tags)
+    assert any("dis/" in t for t in tags)
+    assert all(t.endswith("/grad") for t in tags)
+    assert all(n > 0 for _, _, n in calls)
+    n_expected = len([k for k in tr.state.params if "_bn" not in k]) + len(
+        [k for k in tr.state.adv_params if "_bn" not in k]
+    )
+    assert len(calls) == n_expected

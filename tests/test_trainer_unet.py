@@ -12,7 +12,8 @@ from segmentation_tpu.models.base import SegmentationTrainer
 from segmentation_tpu.models.unet import UNet
 
 
-def small_unet_trainer(tmp_path, adversarial=False, bayesian=False, seed=0):
+def small_unet_trainer(tmp_path, adversarial=False, bayesian=False, seed=0,
+                       adv_every=1):
     hw = (60, 60)
     mcfg = ModelConfig(
         name="unet",
@@ -27,6 +28,7 @@ def small_unet_trainer(tmp_path, adversarial=False, bayesian=False, seed=0):
         log_dir=str(tmp_path / "logs"),
         learning_rate=1e-3,
         seed=seed,
+        adversarial_update_every=adv_every,
     )
     ds = SyntheticSegmentation(batch_size=8, hw=hw, n_classes=2, seed=1)
     model = UNet(mcfg, levels=2)
@@ -112,6 +114,33 @@ def test_adversarial_training_runs(tmp_path):
     for _ in range(5):
         m = tr.train_step()
     assert np.isfinite(m["seg_loss"]) and np.isfinite(m["adv_loss"])
+
+
+def test_adversarial_update_every(tmp_path):
+    """adversarial_update_every=2 must step the adversary's params (and
+    optimizer moments) on every second optimizer step only, while the
+    segmentation net keeps training every step (reference
+    models/basemodel.py:353-355: the adversary train op is deliberately
+    separate so the driver can run it less often)."""
+    tr = small_unet_trainer(tmp_path, adversarial=True, adv_every=2)
+    adv_key = next(iter(tr.state.adv_params))
+    seg_key = "output/w"
+    changed = []
+    for _ in range(4):
+        prev_adv = np.asarray(tr.state.adv_params[adv_key])
+        prev_seg = np.asarray(tr.state.params[seg_key])
+        m = tr.train_step()
+        assert np.isfinite(m["seg_loss"]) and np.isfinite(m["adv_loss"])
+        changed.append(
+            not np.array_equal(
+                prev_adv, np.asarray(tr.state.adv_params[adv_key])
+            )
+        )
+        assert not np.array_equal(
+            prev_seg, np.asarray(tr.state.params[seg_key])
+        ), "seg net must update every step"
+    # steps 0,2 update (step % 2 == 0); steps 1,3 hold
+    assert changed == [True, False, True, False], changed
 
 
 def test_bayesian_mc_inference(tmp_path):
