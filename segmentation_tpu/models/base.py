@@ -568,8 +568,10 @@ class SegmentationTrainer(Trainer):
         ``lax.scan`` over the same jitted step. For small models/hosts with
         high dispatch latency this amortizes the per-step round trip (~10×
         on the MNIST configs); for big models it simply behaves like ``n``
-        fused steps. Returns the LAST step's metrics (scalars averaged over
-        the window are in the summary stream).
+        fused steps. Returns the LAST step's metrics; the summary stream
+        receives one row PER optimizer step (same granularity as the
+        train_step loop — loss curves are comparable across
+        --steps-per-dispatch settings).
 
         Each distinct ``n`` compiles its own scanned program — use one
         window size per training loop.
@@ -594,14 +596,21 @@ class SegmentationTrainer(Trainer):
             scanned = self._scanned_steps[n] = run
         self.state, metric_seq = scanned(self.state, stacked)
         step = self.global_step  # device sync point
-        metrics = {
-            k: float(jax.device_get(v[-1])) for k, v in metric_seq.items()
-        }
+        seq = {k: np.asarray(jax.device_get(v))
+               for k, v in metric_seq.items()}
+        metrics = {k: float(v[-1]) for k, v in seq.items()}
         dt = time.perf_counter() - t0
         self._timings.append(dt)
-        self.summary.scalars(
-            step, {**metrics, "step_time_s": dt / max(1, n)}
-        )
+        # Per-step rows into the summary stream: loss curves keep the same
+        # granularity whether the loop runs train_step or train_steps
+        # (the writer's summary_iter cadence does the rate limiting).
+        per_step = dt / max(1, n)
+        for j in range(n):
+            self.summary.scalars(
+                step - n + 1 + j,
+                {**{k: float(v[j]) for k, v in seq.items()},
+                 "step_time_s": per_step},
+            )
         return metrics
 
     def test(self) -> Dict[str, float]:

@@ -35,6 +35,7 @@ tests/test_unet_fast.py.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict
 
 import jax
@@ -45,6 +46,24 @@ from jax import lax
 from segmentation_tpu.core.config import ModelConfig
 
 _DN = ("NHWC", "HWIO", "NHWC")
+
+# Pallas conv kernels for the packed sites (nn/pallas/conv.py): fused
+# bias+relu, pinned row-major layouts — removes the XLA layout-compromise
+# copies around the packed convs (~12 ms/step at 512²/B=128, per
+# benchmarks/profile_s2d_attr.py). "auto" = on for single-chip TPU with
+# lane-exact channels; SEG_TPU_PALLAS_CONV=0 forces the XLA path.
+_PALLAS_CONV = os.environ.get("SEG_TPU_PALLAS_CONV", "auto")
+
+
+def _pallas_conv_ok(c: int, o: int) -> bool:
+    if _PALLAS_CONV == "0":
+        return False
+    if c % 128 or o % 128:
+        return False
+    try:
+        return jax.default_backend() == "tpu" and len(jax.devices()) == 1
+    except Exception:
+        return False
 
 
 # ------------------------------------------------------------------ packing
@@ -317,26 +336,71 @@ def flat4(x5):
     return _reshape(x5, (n, hp, wp, s * c))
 
 
-def packed_conv3_flat(x4, w2, b, relu=True):
-    """Flat packed-space 3×3 VALID conv: [N,hp,wp,4C] → [N,hp-1,wp-1,4O]."""
+def packed_conv3_flat(x4, w2, b, relu=True, pallas=True):
+    """Flat packed-space 3×3 VALID conv: [N,hp,wp,4C] → [N,hp-1,wp-1,4O].
+    Takes the Pallas kernel on single-chip TPU (fused bias+relu, pinned
+    layout); XLA conv elsewhere. ``pallas=False`` forces the XLA path
+    (training: the Pallas kernels are forward-only, no VJP yet)."""
+    if pallas and _pallas_conv_ok(x4.shape[-1], w2.shape[-1]) \
+            and x4.shape[1] > 2:
+        from segmentation_tpu.nn.pallas.conv import conv2x2_flat
+
+        return conv2x2_flat(x4, w2, tile_bias4(b), relu=relu)
     y = _conv_batch_sharded(x4, w2.astype(x4.dtype), (1, 1))
     y = y + tile_bias4(b).astype(y.dtype)
     return jax.nn.relu(y) if relu else y
 
 
-def packed_conv3_dual_flat(a4, u4, w2a, w2b, b, relu=True):
+def packed_conv3_dual_flat(a4, u4, w2a, w2b, b, relu=True, pallas=True):
     """First decoder conv of a packed level: conv(concat(skip, up), W) ==
     conv(skip, W[:C]) + conv(up, W[C:]) — the concat is never materialized
     (saves a full activation round-trip through HBM per level)."""
+    if (
+        pallas
+        and _pallas_conv_ok(a4.shape[-1], w2a.shape[-1])
+        and a4.shape[1] > 2
+        and a4.shape == u4.shape
+    ):
+        from segmentation_tpu.nn.pallas.conv import conv2x2_dual_flat
+
+        return conv2x2_dual_flat(a4, u4, w2a, w2b, tile_bias4(b), relu=relu)
     ya = _conv_batch_sharded(a4, w2a.astype(a4.dtype), (1, 1))
     yb = _conv_batch_sharded(u4, w2b.astype(u4.dtype), (1, 1))
     y = ya + yb + tile_bias4(b).astype(ya.dtype)
     return jax.nn.relu(y) if relu else y
 
 
-def strided_packed_conv3_flat(x, w4, b, relu=True):
+def _pallas_backend_ok() -> bool:
+    if _PALLAS_CONV == "0":
+        return False
+    try:
+        return jax.default_backend() == "tpu" and len(jax.devices()) == 1
+    except Exception:
+        return False
+
+
+def strided_packed_conv3_flat(x, w4, b, relu=True, pallas=True):
     """Strided entry conv with FLAT packed output: [N,H,W,C] →
-    [N,(H-2)/2,(W-2)/2, 4O]. Zero layout traffic, zero reshapes."""
+    [N,(H-2)/2,(W-2)/2, 4O]. Zero layout traffic, zero reshapes.
+    On single-chip TPU with lane-viable C (>=16): the Pallas strided
+    kernel (pair-view happens in-kernel, so the pool->conv boundary needs
+    no XLA relayout). Tiny-C entry (C=3, level 1) stays XLA: its natural
+    batch-in-lanes layouts are efficient there, and every Pallas-side
+    alternative measured worse (an im2col-dot formulation cost ~13 ms in
+    relayouts at 512²/B=128 vs ~11 ms for the whole XLA level)."""
+    c, o4 = x.shape[-1], w4.shape[-1]
+    if (
+        pallas
+        and _pallas_backend_ok()
+        and o4 % 128 == 0
+        and x.shape[1] > 5
+        and c >= 16
+        and (2 * c) % 64 == 0
+        and x.shape[2] % 2 == 0
+    ):
+        from segmentation_tpu.nn.pallas.conv import conv4x4s2_flat
+
+        return conv4x4s2_flat(x, w4, tile_bias4(b), relu=relu)
     y = _conv_batch_sharded(x, w4.astype(x.dtype), (2, 2))
     y = y + tile_bias4(b).astype(y.dtype)
     return jax.nn.relu(y) if relu else y
@@ -363,16 +427,36 @@ def packed_pool_flat(x4, c, slices=True):
     return jnp.maximum(jnp.maximum(s0, s1), jnp.maximum(s2, s3))
 
 
-def deconv2_as_matmul_flat(x, wm, b, o, relu=True):
+def deconv2_as_matmul_flat(x, wm, b, o, relu=True, pallas=True):
     """2×2/2 transposed conv, unpacked input → FLAT packed output."""
+    if (
+        pallas
+        and _pallas_backend_ok()
+        and x.shape[-1] % 128 == 0
+        and wm.shape[-1] % 128 == 0
+    ):
+        from segmentation_tpu.nn.pallas.conv import matmul_rows_flat
+
+        return matmul_rows_flat(x, wm, tile_bias4(b), relu=relu)
     y = jnp.einsum("nijc,ck->nijk", x, wm.astype(x.dtype))
     y = y + tile_bias4(b).astype(y.dtype)
     return jax.nn.relu(y) if relu else y
 
 
-def deconv2_packed_in_flat(x4, wm, b, o, relu=True):
+def deconv2_packed_in_flat(x4, wm, b, o, relu=True, pallas=True):
     """2×2/2 transposed conv, FLAT packed input → FLAT packed output (one
-    slot rearrangement of the einsum result)."""
+    slot rearrangement of the einsum result; Pallas masked-slot kernel on
+    single-chip TPU — the XLA 8-D transpose costs ~5 ms in relayouts)."""
+    if (
+        pallas
+        and _pallas_backend_ok()
+        and x4.shape[-1] % 128 == 0
+        and wm.shape[-1] % 128 == 0
+        and x4.shape[1] > 2
+    ):
+        from segmentation_tpu.nn.pallas.conv import deconv_packed_flat
+
+        return deconv_packed_flat(x4, wm, tile_bias4(b), relu=relu)
     n, i, j, c4 = x4.shape
     y = jnp.einsum(
         "nijsc,ck->nijsk", view5(x4, c4 // 4), wm.astype(x4.dtype)
@@ -432,6 +516,9 @@ class UNetS2DInference:
     # Pool formulation: lane-sliced (inference winner) vs 5-D reduce
     # (training winner) — see packed_pool_flat.
     pool_slices: bool = True
+    # Pallas conv kernels for the packed sites (inference-only: no VJP).
+    # UNetS2D (the trainable wrapper) sets this False.
+    allow_pallas: bool = True
 
     @property
     def packed_levels(self) -> int:
@@ -441,17 +528,41 @@ class UNetS2DInference:
     # Packed activations are FLAT [N, hp, wp, 4C] at every hook boundary.
     def _strided_conv(self, p, name, h, relu=True):
         return strided_packed_conv3_flat(
-            h, p[f"{name}/w4"], p[f"{name}/b"], relu
+            h, p[f"{name}/w4"], p[f"{name}/b"], relu, self.allow_pallas
         )
 
     def _packed_conv(self, p, name, x4, relu=True):
-        return packed_conv3_flat(x4, p[f"{name}/w2"], p[f"{name}/b"], relu)
+        return packed_conv3_flat(
+            x4, p[f"{name}/w2"], p[f"{name}/b"], relu, self.allow_pallas
+        )
 
     def _packed_conv_dual(self, p, name, skip4, up4, relu=True):
         return packed_conv3_dual_flat(
             skip4, up4, p[f"{name}/w2a"], p[f"{name}/w2b"], p[f"{name}/b"],
-            relu,
+            relu, self.allow_pallas,
         )
+
+    def _packed_conv_pool(self, p, name, x4, width, relu=True,
+                          pallas=True):
+        """Second encoder conv of a packed level + the 2×2/2 pool, fused
+        into one Pallas kernel when available (a standalone pool on the
+        packed conv output costs a full extra HBM pass — measured
+        14.9 ms on level 1 at 512²/B=128). Returns (conv_out, pooled).
+        Subclasses with custom conv hooks (int8) keep the two-op path."""
+        if (
+            pallas
+            and self.allow_pallas
+            and type(self)._packed_conv is UNetS2DInference._packed_conv
+            and _pallas_conv_ok(x4.shape[-1], p[f"{name}/w2"].shape[-1])
+            and x4.shape[1] > 2
+        ):
+            from segmentation_tpu.nn.pallas.conv import conv2x2_pool_flat
+
+            return conv2x2_pool_flat(
+                x4, p[f"{name}/w2"], tile_bias4(p[f"{name}/b"]), relu=relu
+            )
+        h4 = self._packed_conv(p, name, x4, relu)
+        return h4, packed_pool_flat(h4, width, self.pool_slices)
 
     def _std_conv(self, p, name, h, relu=True):
         y = _conv_batch_sharded(h, p[f"{name}/w"].astype(h.dtype), (1, 1))
@@ -532,10 +643,17 @@ class UNetS2DInference:
             )
         for lvl in range(pl_):
             width = k * (2**lvl)
+            # Level 1 (C=3 entry) runs entirely in XLA: its batch-in-lanes
+            # layouts are efficient there, and a Pallas c1_2 would force a
+            # ~6 ms relayout of the 2.1 GB entry-conv output. Pallas takes
+            # over from level 2 (the pool->strided boundary is free: the
+            # pair view happens inside the kernel).
+            level_pallas = h.shape[-1] >= 16
             h4 = self._strided_conv(p, f"conv{lvl + 1}_1", h)
-            h4 = self._packed_conv(p, f"conv{lvl + 1}_2", h4)
+            h4, h = self._packed_conv_pool(
+                p, f"conv{lvl + 1}_2", h4, width, pallas=level_pallas
+            )
             skips.append(("packed", h4))
-            h = packed_pool_flat(h4, width, self.pool_slices)
 
         # ---- encoder: standard levels + bottleneck ------------------------
         for lvl in range(pl_, L):
@@ -560,11 +678,13 @@ class UNetS2DInference:
             if lvl < pl_:
                 if packed:  # previous packed level stayed packed
                     h4 = deconv2_packed_in_flat(
-                        h, p[f"{up}/wm"], p[f"{up}/b"], width
+                        h, p[f"{up}/wm"], p[f"{up}/b"], width,
+                        pallas=self.allow_pallas,
                     )
                 else:
                     h4 = deconv2_as_matmul_flat(
-                        h, p[f"{up}/wm"], p[f"{up}/b"], width
+                        h, p[f"{up}/wm"], p[f"{up}/b"], width,
+                        pallas=self.allow_pallas,
                     )
                 th, tw = h4.shape[1] * 2, h4.shape[2] * 2
                 sk = skip if kind == "packed" else flat4(pack2(skip))
@@ -683,8 +803,11 @@ class UNetS2D:
         declare_conv("output", c, nc, ksz=1)
 
         # Training picks the reduce-formulated pool (lighter backward —
-        # ~11% faster steps at 512²/B=128; see packed_pool_flat).
-        fast = UNetS2DInference(self.cfg, self.levels, pool_slices=False)
+        # ~11% faster steps at 512²/B=128; see packed_pool_flat) and the
+        # XLA convs (Pallas kernels are forward-only).
+        fast = UNetS2DInference(
+            self.cfg, self.levels, pool_slices=False, allow_pallas=False
+        )
         if self.cfg.bayesian:
             # Same MC-dropout sites (and liveness contract) as models.unet:
             # stays stochastic at inference (reference examples/inference.py:

@@ -60,6 +60,18 @@ def conv2d(
 ) -> jnp.ndarray:
     """slim.convolution2d semantics: conv + bias + activation (ReLU default)."""
     cin = x.shape[-1]
+    if 0 in x.shape[1:3] or (
+        padding == "VALID"
+        and (x.shape[1] < kernel or x.shape[2] < kernel)
+    ):
+        # An empty/undersized input silently yields an all-zero network
+        # downstream (seen with the deconv/stacked encoders below ~128px) —
+        # fail loudly with the layer name instead.
+        raise ValueError(
+            f"conv2d '{name}': spatial input {x.shape[1]}x{x.shape[2]} too "
+            f"small for a {kernel}x{kernel} {padding} conv — increase the "
+            "crop/input size for this architecture"
+        )
     w = hk.param(f"{name}/w", (kernel, kernel, cin, features), w_init)
     y = lax.conv_general_dilated(
         x,

@@ -82,33 +82,75 @@ def _epilogue(acc, bias_ref, relu, out_dtype):
     return y.astype(out_dtype)
 
 
+def _round8(n: int) -> int:
+    return (n + 7) // 8 * 8
+
+
+def _auto_r(h_out: int, cap: int = 16) -> int:
+    """Row-block size minimizing ragged-block waste: the smallest r <= cap
+    whose block count equals cdiv(h_out, cap). (82 rows: r=16 wastes 17%
+    of compute in the masked tail; r=14 wastes 2.4% — measured 70% -> 84%
+    MFU swings on the c8_2 site.)"""
+    nb = -(-h_out // cap)
+    return -(-h_out // nb)
+
+
 # --------------------------------------------------------------- conv2x2
-def _conv2x2_kernel(r_block, w_out, relu, out_dtype, *refs):
-    # The v=1 column tap needs x[j+1]; Mosaic has no sub-32-bit sublane
-    # rotate, so the shift is applied to the f32 PRODUCT: group the dots
-    # into a keep term and a shift term, one 32-bit roll per output row.
+def _conv2x2_kernel(r_block, w_in, w_out, relu, out_dtype, *refs,
+                    pool_out=None):
+    """Row-stacked formulation: the R+1 input rows are copied into a
+    VMEM scratch at a sublane-aligned stride S = round8(W), so each of
+    the four kernel taps becomes ONE [R*S, C] @ [C, O] matmul (M in the
+    thousands instead of M=W per-row dots — MXU pipeline stays full).
+
+    The v=1 column tap needs x[j+1]; Mosaic has no sub-32-bit sublane
+    rotate, so the shift applies to the f32 PRODUCT: one 32-bit roll of
+    the whole stacked block. Row padding (S-W positions) only ever feeds
+    padding positions, never a real output column."""
     w00, w01, w10, w11, bias = refs[:5]
     rows = refs[5 : 5 + r_block + 1]
     out = refs[5 + r_block + 1]
-    loaded = [r[0, 0] for r in rows]                     # [W, C]
+    xs = refs[5 + r_block + 2]                          # [(R+1)*S, C]
+    stride = _round8(w_in)
+    for j in range(r_block + 1):
+        xs[j * stride : j * stride + w_in, :] = rows[j][0, 0]
+    lo = xs[0 : r_block * stride, :]
+    hi = xs[stride : (r_block + 1) * stride, :]
+    keep = jnp.dot(lo, w00[:], preferred_element_type=jnp.float32)
+    keep += jnp.dot(hi, w10[:], preferred_element_type=jnp.float32)
+    shift = jnp.dot(lo, w01[:], preferred_element_type=jnp.float32)
+    shift += jnp.dot(hi, w11[:], preferred_element_type=jnp.float32)
+    acc = keep + pltpu.roll(shift, shift.shape[0] - 1, 0)
     for r in range(r_block):
-        keep = jnp.dot(loaded[r], w00[:],
-                       preferred_element_type=jnp.float32)
-        keep += jnp.dot(loaded[r + 1], w10[:],
-                        preferred_element_type=jnp.float32)
-        shift = jnp.dot(loaded[r], w01[:],
-                        preferred_element_type=jnp.float32)
-        shift += jnp.dot(loaded[r + 1], w11[:],
-                         preferred_element_type=jnp.float32)
-        acc = keep + pltpu.roll(shift, shift.shape[0] - 1, 0)
-        out[0, r] = _epilogue(acc[:w_out], bias, relu, out_dtype)
+        y = _epilogue(acc[r * stride : r * stride + w_out], bias, relu,
+                      jnp.float32)
+        out[0, r] = y.astype(out_dtype)
+        if pool_out is not None:
+            # fused 2x2/2 max-pool = slot-max over the 4 packed channel
+            # groups: two lane rotations + maxima, then the first C/4
+            # lanes hold max over all 4 slots. Runs on the f32 epilogue
+            # (relu is monotone, so pool-of-relu == relu-of-pool).
+            o = y.shape[-1]
+            m = jnp.maximum(y, pltpu.roll(y, o // 2, 1))
+            m = jnp.maximum(m, pltpu.roll(m, o - o // 4, 1))
+            pool_out[0, r] = m[:, : o // 4].astype(out_dtype)
+
+
+def _conv2x2_kernel_pool(r_block, w_in, w_out, relu, out_dtype, *refs):
+    n_in = 5 + r_block + 1
+    ins, out_y, out_pool, xs = (
+        refs[:n_in], refs[n_in], refs[n_in + 1], refs[n_in + 2]
+    )
+    _conv2x2_kernel(r_block, w_in, w_out, relu, out_dtype, *ins, out_y, xs,
+                    pool_out=out_pool)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("relu", "r_block", "interpret"),
 )
-def conv2x2_flat(x, w, b, *, relu: bool = True, r_block: int = 8,
+def conv2x2_flat(x, w, b, *, relu: bool = True,
+                 r_block: Optional[int] = None,
                  interpret: bool = False):
     """2×2 VALID conv, flat packed layout (bias+ReLU fused).
 
@@ -119,14 +161,17 @@ def conv2x2_flat(x, w, b, *, relu: bool = True, r_block: int = 8,
     o = w.shape[-1]
     assert _qualifies(c, o), (c, o)
     h_out, w_out = h - 1, w_in - 1
+    if r_block is None:
+        r_block = _auto_r(h_out)
     r_block = max(1, min(r_block, h_out))
     grid = (n, pl.cdiv(h_out, r_block))
     wt = w.astype(x.dtype)
     parts = [wt[0, 0], wt[0, 1], wt[1, 0], wt[1, 1], b.astype(jnp.float32)]
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
     kernel = functools.partial(
-        _conv2x2_kernel, r_block, w_out, relu, x.dtype
+        _conv2x2_kernel, r_block, w_in, w_out, relu, x.dtype
     )
+    stride = _round8(w_in)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, h_out, w_out, o), x.dtype),
@@ -137,52 +182,126 @@ def conv2x2_flat(x, w, b, *, relu: bool = True, r_block: int = 8,
             lambda n_, i: (n_, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[
+            pltpu.VMEM(((r_block + 1) * stride, c), x.dtype),
+        ],
+        interpret=interpret,
+    )(*parts, *([x] * (r_block + 1)))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("relu", "r_block", "interpret")
+)
+def conv2x2_pool_flat(x, w, b, *, relu: bool = True,
+                      r_block: Optional[int] = None,
+                      interpret: bool = False):
+    """conv2x2_flat plus the fused 2x2/2 slot-max pool: returns
+    (y [N,H-1,W-1,O], pooled [N,H-1,W-1,O//4]). The standalone XLA pool
+    on the packed conv output costs a full extra HBM pass (measured
+    14.9 ms on the 254² level at B=128); here it rides the epilogue."""
+    n, h, w_in, c = x.shape
+    o = w.shape[-1]
+    assert _qualifies(c, o), (c, o)
+    assert o % 4 == 0
+    h_out, w_out = h - 1, w_in - 1
+    if r_block is None:
+        r_block = _auto_r(h_out)
+    r_block = max(1, min(r_block, h_out))
+    grid = (n, pl.cdiv(h_out, r_block))
+    wt = w.astype(x.dtype)
+    parts = [wt[0, 0], wt[0, 1], wt[1, 0], wt[1, 1], b.astype(jnp.float32)]
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+    kernel = functools.partial(
+        _conv2x2_kernel_pool, r_block, w_in, w_out, relu, x.dtype
+    )
+    stride = _round8(w_in)
+    out_spec = pl.BlockSpec(
+        (1, r_block, w_out, o),
+        lambda n_, i: (n_, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    pool_spec = pl.BlockSpec(
+        (1, r_block, w_out, o // 4),
+        lambda n_, i: (n_, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, h_out, w_out, o), x.dtype),
+            jax.ShapeDtypeStruct((n, h_out, w_out, o // 4), x.dtype),
+        ),
+        grid=grid,
+        in_specs=w_specs + _row_specs(r_block + 1, r_block, h, w_in, c),
+        out_specs=(out_spec, pool_spec),
+        scratch_shapes=[
+            pltpu.VMEM(((r_block + 1) * stride, c), x.dtype),
+        ],
         interpret=interpret,
     )(*parts, *([x] * (r_block + 1)))
 
 
 # ---------------------------------------------------------- conv2x2 dual
-def _conv2x2_dual_kernel(r_block, w_out, relu, out_dtype, *refs):
+def _conv2x2_dual_kernel(r_block, w_in, w_out, relu, out_dtype,
+                         a_col_off, *refs):
     wa = refs[:4]
     wb = refs[4:8]
     bias = refs[8]
     rows_a = refs[9 : 9 + r_block + 1]
     rows_b = refs[9 + r_block + 1 : 9 + 2 * (r_block + 1)]
     out = refs[9 + 2 * (r_block + 1)]
-    la = [r[0, 0] for r in rows_a]
-    lb = [r[0, 0] for r in rows_b]
+    xa = refs[9 + 2 * (r_block + 1) + 1]
+    xb = refs[9 + 2 * (r_block + 1) + 2]
+    stride = _round8(w_in)
+    for j in range(r_block + 1):
+        # xa rows come from the (wider) skip tensor: the center-crop's
+        # column offset is applied here, its row offset in the index map —
+        # the crop never materializes.
+        xa[j * stride : j * stride + w_in, :] = (
+            rows_a[j][0, 0, a_col_off : a_col_off + w_in, :]
+        )
+        xb[j * stride : j * stride + w_in, :] = rows_b[j][0, 0]
+    lo_a = xa[0 : r_block * stride, :]
+    hi_a = xa[stride : (r_block + 1) * stride, :]
+    lo_b = xb[0 : r_block * stride, :]
+    hi_b = xb[stride : (r_block + 1) * stride, :]
+    keep = jnp.dot(lo_a, wa[0][:], preferred_element_type=jnp.float32)
+    keep += jnp.dot(hi_a, wa[2][:], preferred_element_type=jnp.float32)
+    keep += jnp.dot(lo_b, wb[0][:], preferred_element_type=jnp.float32)
+    keep += jnp.dot(hi_b, wb[2][:], preferred_element_type=jnp.float32)
+    shift = jnp.dot(lo_a, wa[1][:], preferred_element_type=jnp.float32)
+    shift += jnp.dot(hi_a, wa[3][:], preferred_element_type=jnp.float32)
+    shift += jnp.dot(lo_b, wb[1][:], preferred_element_type=jnp.float32)
+    shift += jnp.dot(hi_b, wb[3][:], preferred_element_type=jnp.float32)
+    acc = keep + pltpu.roll(shift, shift.shape[0] - 1, 0)
     for r in range(r_block):
-        keep = jnp.dot(la[r], wa[0][:], preferred_element_type=jnp.float32)
-        keep += jnp.dot(la[r + 1], wa[2][:],
-                        preferred_element_type=jnp.float32)
-        keep += jnp.dot(lb[r], wb[0][:],
-                        preferred_element_type=jnp.float32)
-        keep += jnp.dot(lb[r + 1], wb[2][:],
-                        preferred_element_type=jnp.float32)
-        shift = jnp.dot(la[r], wa[1][:],
-                        preferred_element_type=jnp.float32)
-        shift += jnp.dot(la[r + 1], wa[3][:],
-                         preferred_element_type=jnp.float32)
-        shift += jnp.dot(lb[r], wb[1][:],
-                         preferred_element_type=jnp.float32)
-        shift += jnp.dot(lb[r + 1], wb[3][:],
-                         preferred_element_type=jnp.float32)
-        acc = keep + pltpu.roll(shift, shift.shape[0] - 1, 0)
-        out[0, r] = _epilogue(acc[:w_out], bias, relu, out_dtype)
+        out[0, r] = _epilogue(
+            acc[r * stride : r * stride + w_out], bias, relu, out_dtype
+        )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("relu", "r_block", "interpret")
+    jax.jit, static_argnames=("relu", "r_block", "a_offset", "interpret")
 )
 def conv2x2_dual_flat(xa, xb, wa, wb, b, *, relu: bool = True,
-                      r_block: int = 8, interpret: bool = False):
+                      r_block: Optional[int] = None,
+                      a_offset=(0, 0),
+                      interpret: bool = False):
     """conv2x2(xa, wa) + conv2x2(xb, wb) + b — the concat-free decoder
-    conv (skip/up split). Shapes as conv2x2_flat; xa/xb same shape."""
-    assert xa.shape == xb.shape, (xa.shape, xb.shape)
-    n, h, w_in, c = xa.shape
+    conv (skip/up split). xb sets the output geometry; xa may be LARGER
+    with ``a_offset=(row, col)`` selecting the aligned window (the skip
+    center-crop, folded into the kernel's reads — no sliced copy)."""
+    ro, co = a_offset
+    n, h, w_in, c = xb.shape
+    assert xa.shape[0] == n and xa.shape[3] == c, (xa.shape, xb.shape)
+    assert xa.shape[1] >= h + ro and xa.shape[2] >= w_in + co, (
+        xa.shape, xb.shape, a_offset,
+    )
     o = wa.shape[-1]
     assert _qualifies(c, o), (c, o)
     h_out, w_out = h - 1, w_in - 1
+    if r_block is None:
+        r_block = _auto_r(h_out)
     r_block = max(1, min(r_block, h_out))
     grid = (n, pl.cdiv(h_out, r_block))
     wta, wtb = wa.astype(xa.dtype), wb.astype(xa.dtype)
@@ -190,44 +309,68 @@ def conv2x2_dual_flat(xa, xb, wa, wb, b, *, relu: bool = True,
              wtb[0, 0], wtb[0, 1], wtb[1, 0], wtb[1, 1],
              b.astype(jnp.float32)]
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
+
+    def mk_a(u):
+        return pl.BlockSpec(
+            (1, 1, xa.shape[2], c),
+            lambda n_, i, u=u: (
+                n_,
+                jnp.minimum(i * r_block + u + ro, xa.shape[1] - 1),
+                0, 0,
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    row_specs_a = [mk_a(u) for u in range(r_block + 1)]
     row_specs = _row_specs(r_block + 1, r_block, h, w_in, c)
     kernel = functools.partial(
-        _conv2x2_dual_kernel, r_block, w_out, relu, xa.dtype
+        _conv2x2_dual_kernel, r_block, w_in, w_out, relu, xa.dtype, co
     )
+    stride = _round8(w_in)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, h_out, w_out, o), xa.dtype),
         grid=grid,
-        in_specs=w_specs + row_specs + row_specs,
+        in_specs=w_specs + row_specs_a + row_specs,
         out_specs=pl.BlockSpec(
             (1, r_block, w_out, o),
             lambda n_, i: (n_, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[
+            pltpu.VMEM(((r_block + 1) * stride, c), xa.dtype),
+            pltpu.VMEM(((r_block + 1) * stride, c), xa.dtype),
+        ],
         interpret=interpret,
     )(*parts, *([xa] * (r_block + 1)), *([xb] * (r_block + 1)))
 
 
 # ------------------------------------------------------------ conv4x4s2
-def _conv4x4s2_kernel(r_block, w_out, relu, out_dtype, *refs):
-    # weights: per row-tap u, two K=2C mats (pair j and pair j+1)
-    wp = refs[:8]          # [u0p0, u0p1, u1p0, u1p1, ... u3p1]
-    bias = refs[8]
-    rows = refs[9 : 9 + 2 * r_block + 2]
-    out = refs[9 + 2 * r_block + 2]
-    loaded = [r[0, 0] for r in rows]                     # [W/2, 2C]
+def _conv4x4s2_kernel(r_block, w2_in, w_out, relu, out_dtype, *refs):
+    """Row-stacked strided kernel: out row r consumes input rows 2r..2r+3
+    (pair view [W/2, 2C]); the 4 row-taps stack into the LANE dim of one
+    scratch (K = 8C), so the whole block is TWO [R*S, 8C] @ [8C, O4]
+    matmuls — keep (pair j) and shift (pair j+1, applied by one f32 roll
+    of the product)."""
+    wk = refs[0]           # [8C, O4] pair-j taps, u-stacked
+    ws = refs[1]           # [8C, O4] pair-(j+1) taps
+    bias = refs[2]
+    rows = refs[3 : 3 + 2 * r_block + 2]
+    out = refs[3 + 2 * r_block + 2]
+    x4 = refs[3 + 2 * r_block + 3]                       # [R*S, 8C]
+    c2 = rows[0].shape[-1]
+    stride = _round8(w2_in)
     for r in range(r_block):
-        keep = None
-        shift = None
         for u in range(4):
-            a = jnp.dot(loaded[2 * r + u], wp[2 * u][:],
-                        preferred_element_type=jnp.float32)
-            keep = a if keep is None else keep + a
-            sh = jnp.dot(loaded[2 * r + u], wp[2 * u + 1][:],
-                         preferred_element_type=jnp.float32)
-            shift = sh if shift is None else shift + sh
-        acc = keep + pltpu.roll(shift, shift.shape[0] - 1, 0)
-        out[0, r] = _epilogue(acc[:w_out], bias, relu, out_dtype)
+            x4[r * stride : r * stride + w2_in,
+               u * c2 : (u + 1) * c2] = rows[2 * r + u][0, 0]
+    keep = jnp.dot(x4[:], wk[:], preferred_element_type=jnp.float32)
+    shift = jnp.dot(x4[:], ws[:], preferred_element_type=jnp.float32)
+    acc = keep + pltpu.roll(shift, shift.shape[0] - 1, 0)
+    for r in range(r_block):
+        out[0, r] = _epilogue(
+            acc[r * stride : r * stride + w_out], bias, relu, out_dtype
+        )
 
 
 @functools.partial(
@@ -250,21 +393,31 @@ def conv4x4s2_flat(x, w4, b, *, relu: bool = True, r_block: int = 8,
     h_out, w_out = (h - 2) // 2, (w_in - 2) // 2
     r_block = max(1, min(r_block, h_out))
     grid = (n, pl.cdiv(h_out, r_block))
-    # pair view: [N, H, W/2, 2C]
-    xp = x.reshape(n, h, w_in // 2, 2 * c)
+    w2_in = w_in // 2
+    # pair view [N, H, W/2, 2C]: produced by the (XLA) upstream region, so
+    # the relayout to Pallas row-major fuses with whatever copy the
+    # XLA->Pallas boundary needs anyway. (Mosaic cannot shape-cast
+    # sublanes into lanes in-kernel.)
+    xp = x.reshape(n, h, w2_in, 2 * c)
     wt = w4.astype(x.dtype)  # [4, 4, C, O4]
     # pair j covers cols (2j, 2j+1) = taps (v=0, v=1); pair j+1 covers
-    # taps (v=2, v=3). Stack the two column taps into K=2C.
-    parts = []
-    for u in range(4):
-        parts.append(jnp.concatenate([wt[u, 0], wt[u, 1]], axis=0))
-        parts.append(jnp.concatenate([wt[u, 2], wt[u, 3]], axis=0))
-    parts.append(b.astype(jnp.float32))
-    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
+    # taps (v=2, v=3). Column taps stack into K=2C per row-tap u; the 4
+    # row-taps stack into K=8C (matching the kernel's lane-stacked
+    # scratch).
+    wk = jnp.concatenate(
+        [jnp.concatenate([wt[u, 0], wt[u, 1]], axis=0) for u in range(4)],
+        axis=0,
+    )
+    ws = jnp.concatenate(
+        [jnp.concatenate([wt[u, 2], wt[u, 3]], axis=0) for u in range(4)],
+        axis=0,
+    )
+    parts = [wk, ws, b.astype(jnp.float32)]
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
 
     def mk(u):
         return pl.BlockSpec(
-            (1, 1, w_in // 2, 2 * c),
+            (1, 1, w2_in, 2 * c),
             lambda n_, i, u=u: (
                 n_, jnp.minimum(2 * i * r_block + u, h - 1), 0, 0
             ),
@@ -273,8 +426,9 @@ def conv4x4s2_flat(x, w4, b, *, relu: bool = True, r_block: int = 8,
 
     row_specs = [mk(u) for u in range(2 * r_block + 2)]
     kernel = functools.partial(
-        _conv4x4s2_kernel, r_block, w_out, relu, x.dtype
+        _conv4x4s2_kernel, r_block, w2_in, w_out, relu, x.dtype
     )
+    stride = _round8(w2_in)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, h_out, w_out, o4), x.dtype),
@@ -285,5 +439,146 @@ def conv4x4s2_flat(x, w4, b, *, relu: bool = True, r_block: int = 8,
             lambda n_, i: (n_, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[
+            pltpu.VMEM((r_block * stride, 8 * c), x.dtype),
+        ],
         interpret=interpret,
     )(*parts, *([xp] * (2 * r_block + 2)))
+
+
+# ------------------------------------------------------- rowwise matmul
+def _matmul_rows_kernel(r_block, w_in, relu, out_dtype, *refs):
+    wm, bias = refs[0], refs[1]
+    rows = refs[2 : 2 + r_block]
+    out = refs[2 + r_block]
+    xs = refs[2 + r_block + 1]
+    stride = _round8(w_in)
+    for j in range(r_block):
+        xs[j * stride : j * stride + w_in, :] = rows[j][0, 0]
+    acc = jnp.dot(xs[:], wm[:], preferred_element_type=jnp.float32)
+    for r in range(r_block):
+        out[0, r] = _epilogue(
+            acc[r * stride : r * stride + w_in], bias, relu, out_dtype
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("relu", "r_block", "interpret")
+)
+def matmul_rows_flat(x, wm, b, *, relu: bool = True,
+                     r_block: Optional[int] = None,
+                     interpret: bool = False):
+    """Per-pixel channel matmul [N,H,W,C] @ [C,K] -> [N,H,W,K] with fused
+    bias+relu (the 2×2/2 transposed conv with unpacked input IS this —
+    the output lands pre-packed). Pallas so the packed decoder chain stays
+    row-major end to end."""
+    n, h, w_in, c = x.shape
+    k = wm.shape[-1]
+    assert c % 128 == 0 and k % 128 == 0, (c, k)
+    if r_block is None:
+        r_block = _auto_r(h)
+    r_block = max(1, min(r_block, h))
+    grid = (n, pl.cdiv(h, r_block))
+    parts = [wm.astype(x.dtype), b.astype(jnp.float32)]
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+    kernel = functools.partial(
+        _matmul_rows_kernel, r_block, w_in, relu, x.dtype
+    )
+    stride = _round8(w_in)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, h, w_in, k), x.dtype),
+        grid=grid,
+        in_specs=w_specs + _row_specs(r_block, r_block, h, w_in, c),
+        out_specs=pl.BlockSpec(
+            (1, r_block, w_in, k),
+            lambda n_, i: (n_, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((r_block * stride, c), x.dtype)],
+        interpret=interpret,
+    )(*parts, *([x] * r_block))
+
+
+# ---------------------------------------------------- deconv (packed in)
+def _deconv_packed_kernel(r_half, w_in, relu, out_dtype, *refs):
+    # wsel[a][b]: [4C, 4O] = wm rows placed at slot block (2a+b)
+    wsel = refs[:4]
+    bias = refs[4]
+    rows = refs[5 : 5 + r_half]
+    out = refs[5 + r_half]
+    xs = refs[5 + r_half + 1]
+    stride = _round8(w_in)
+    for j in range(r_half):
+        xs[j * stride : j * stride + w_in, :] = rows[j][0, 0]
+    prods = [
+        jnp.dot(xs[:], wsel[si][:], preferred_element_type=jnp.float32)
+        for si in range(4)
+    ]
+    for r in range(2 * r_half):
+        a, i_loc = r % 2, r // 2
+        p0 = prods[2 * a][i_loc * stride : i_loc * stride + w_in]
+        p1 = prods[2 * a + 1][i_loc * stride : i_loc * stride + w_in]
+        y = jnp.stack([p0, p1], axis=1)          # [J, 2, 4O]
+        y = y.reshape(2 * w_in, p0.shape[-1])    # row-major interleave
+        out[0, r] = _epilogue(y, bias, relu, out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("relu", "r_block", "interpret")
+)
+def deconv_packed_flat(x4, wm, b, *, relu: bool = True,
+                       r_block: Optional[int] = None,
+                       interpret: bool = False):
+    """2×2/2 transposed conv, FLAT packed input → FLAT packed output:
+    [N, I, J, 4C] @ wm [C, 4O] -> [N, 2I, 2J, 4O]. Input slot (a,b) of
+    packed pixel (i,j) contributes output packed pixel (2i+a, 2j+b); the
+    slot scatter is done by 4 masked-weight matmuls (zeros outside the
+    source slot block) + a free row-major column interleave — replacing
+    an 8-D XLA transpose chain (~5 ms of relayout copies at 512²/B=128).
+    """
+    n, i_in, j_in, c4 = x4.shape
+    c = c4 // 4
+    o4 = wm.shape[-1]
+    assert c4 % 128 == 0 and o4 % 128 == 0, (c4, o4)
+    if r_block is None:
+        r_block = _auto_r(2 * i_in)
+    r_block = max(2, min(r_block + r_block % 2, 2 * i_in))  # even
+    r_half = r_block // 2
+    grid = (n, pl.cdiv(2 * i_in, r_block))
+    wmt = wm.astype(x4.dtype)
+    zeros = jnp.zeros((c4, o4), x4.dtype)
+    wsel = []
+    for s in range(4):
+        ws = zeros.at[s * c : (s + 1) * c].set(wmt)
+        wsel.append(ws)
+    parts = wsel + [b.astype(jnp.float32)]
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+
+    def mk(u):
+        return pl.BlockSpec(
+            (1, 1, j_in, c4),
+            lambda n_, i, u=u: (
+                n_, jnp.minimum(i * r_half + u, i_in - 1), 0, 0
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = functools.partial(
+        _deconv_packed_kernel, r_half, j_in, relu, x4.dtype
+    )
+    stride = _round8(j_in)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, 2 * i_in, 2 * j_in, o4),
+                                       x4.dtype),
+        grid=grid,
+        in_specs=w_specs + [mk(u) for u in range(r_half)],
+        out_specs=pl.BlockSpec(
+            (1, r_block, 2 * j_in, o4),
+            lambda n_, i: (n_, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((r_half * stride, c4), x4.dtype)],
+        interpret=interpret,
+    )(*parts, *([x4] * r_half))

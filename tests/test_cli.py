@@ -68,7 +68,7 @@ def test_build_trainer_native_uint8(tmp_path):
     [
         ("unet", {"crop_size": 204, "batch_size": 2}),
         ("fcn", {"crop_size": 64}),
-        ("deconvolution", {"crop_size": 96}),
+        ("deconvolution", {"crop_size": 192}),  # min viable ~160 (empty-conv guard)
         ("template", {"crop_size": 32}),
         ("autoencoder", {"crop_size": 28, "input_channel": 1}),
         ("gan", {"crop_size": 28, "input_channel": 1, "batch_size": 8}),

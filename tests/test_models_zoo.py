@@ -45,10 +45,21 @@ def test_fcn_bad_type_raises():
 
 
 def test_deconv_in_out_equal():
-    hw = (96, 96)
+    hw = (192, 192)  # deconv encoder needs >=~160px (empty-conv guard)
     cfg = ModelConfig(name="deconv", n_classes=2, input_dims=hw, n_kernels=4)
     out = _forward(DeconvModel(cfg), hw)
-    assert out.shape == (2, 96, 96, 2)
+    assert out.shape == (2, 192, 192, 2)
+
+
+def test_deconv_undersized_input_raises():
+    """Below ~160px the encoder shrinks a 3x3 VALID stage to nothing; the
+    round-2 build silently produced an all-zero network here. Must raise."""
+    import pytest
+
+    hw = (96, 96)
+    cfg = ModelConfig(name="deconv", n_classes=2, input_dims=hw, n_kernels=4)
+    with pytest.raises(ValueError, match="too\\s+small|too "):
+        _forward(DeconvModel(cfg), hw)
 
 
 @pytest.mark.parametrize("encoder_type", ["stacked", "small", "multiscale"])

@@ -79,3 +79,70 @@ def test_conv2x2_rejects_thin_channels(np_rng):
     b = jnp.zeros((128,), jnp.float32)
     with pytest.raises(AssertionError):
         conv2x2_flat(x, w, b, interpret=True)
+
+
+def test_conv2x2_pool_parity(np_rng):
+    """Fused conv+slot-max pool == conv followed by packed_pool_flat."""
+    from segmentation_tpu.models.unet_fast import packed_pool_flat
+    from segmentation_tpu.nn.pallas.conv import conv2x2_pool_flat
+
+    c, o = 128, 128
+    x = jnp.asarray(np_rng.normal(size=(2, 13, 21, c)), jnp.float32)
+    w = jnp.asarray(np_rng.normal(size=(2, 2, c, o)) * 0.05, jnp.float32)
+    b = jnp.asarray(np_rng.normal(size=(o,)), jnp.float32)
+    y, pooled = conv2x2_pool_flat(x, w, b, r_block=4, interpret=True)
+    want_y = _oracle_conv(x, w, b, (1, 1), True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want_y),
+                               rtol=1e-4, atol=1e-4)
+    want_p = packed_pool_flat(want_y, o // 4)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(want_p),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv2x2_dual_with_crop_offset(np_rng):
+    """a_offset folds the skip center-crop into the dual kernel."""
+    c = o = 128
+    xa_full = jnp.asarray(np_rng.normal(size=(2, 17, 19, c)), jnp.float32)
+    xb = jnp.asarray(np_rng.normal(size=(2, 11, 13, c)), jnp.float32)
+    wa = jnp.asarray(np_rng.normal(size=(2, 2, c, o)) * 0.05, jnp.float32)
+    wb = jnp.asarray(np_rng.normal(size=(2, 2, c, o)) * 0.05, jnp.float32)
+    b = jnp.asarray(np_rng.normal(size=(o,)), jnp.float32)
+    ro, co = 3, 2
+    got = conv2x2_dual_flat(xa_full, xb, wa, wb, b, r_block=4,
+                            a_offset=(ro, co), interpret=True)
+    xa = xa_full[:, ro : ro + 11, co : co + 13]
+    x = jnp.concatenate([xa, xb], axis=-1)
+    w = jnp.concatenate([wa, wb], axis=2)
+    want = _oracle_conv(x, w, b, (1, 1), True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_matmul_rows_parity(np_rng):
+    from segmentation_tpu.nn.pallas.conv import matmul_rows_flat
+
+    x = jnp.asarray(np_rng.normal(size=(2, 9, 11, 128)), jnp.float32)
+    wm = jnp.asarray(np_rng.normal(size=(128, 256)) * 0.05, jnp.float32)
+    b = jnp.asarray(np_rng.normal(size=(256,)), jnp.float32)
+    got = matmul_rows_flat(x, wm, b, r_block=4, interpret=True)
+    want = jax.nn.relu(jnp.einsum("nijc,ck->nijk", x, wm) + b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_deconv_packed_parity(np_rng):
+    """Pallas packed-in deconv == deconv2_packed_in_flat oracle."""
+    from segmentation_tpu.models.unet_fast import (
+        deconv2_packed_in_flat, tile_bias4,
+    )
+    from segmentation_tpu.nn.pallas.conv import deconv_packed_flat
+
+    c, o = 32, 32  # 4C=128, 4O=128
+    x4 = jnp.asarray(np_rng.normal(size=(2, 7, 9, 4 * c)), jnp.float32)
+    wm = jnp.asarray(np_rng.normal(size=(c, 4 * o)) * 0.1, jnp.float32)
+    b = jnp.asarray(np_rng.normal(size=(o,)), jnp.float32)
+    got = deconv_packed_flat(x4, wm, tile_bias4(b), r_block=4,
+                             interpret=True)
+    want = deconv2_packed_in_flat(x4, wm, b, o)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
