@@ -54,8 +54,10 @@ def main(batch=128, reps=10):
 
         @jax.jit
         def infer(xx):
-            logits = fast.apply(prepared, xx)
-            return jnp.sum(jnp.argmax(logits, axis=-1).astype(jnp.int32))
+            # serving path (same as bench.py headline): packed 1x1 head +
+            # argmax, uint8 unpack
+            mask = fast.apply_argmax(prepared, xx)
+            return jnp.sum(mask.astype(jnp.int32))
 
         print(f"compiling {mode}...", flush=True)
         outs[mode] = float(infer(x))

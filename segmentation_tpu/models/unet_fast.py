@@ -379,7 +379,8 @@ def _pallas_backend_ok() -> bool:
         return False
 
 
-def strided_packed_conv3_flat(x, w4, b, relu=True, pallas=True):
+def strided_packed_conv3_flat(x, w4, b, relu=True, pallas=True,
+                              paired=False):
     """Strided entry conv with FLAT packed output: [N,H,W,C] →
     [N,(H-2)/2,(W-2)/2, 4O]. Zero layout traffic, zero reshapes.
     On single-chip TPU with lane-viable C (>=16): the Pallas strided
@@ -388,7 +389,8 @@ def strided_packed_conv3_flat(x, w4, b, relu=True, pallas=True):
     batch-in-lanes layouts are efficient there, and every Pallas-side
     alternative measured worse (an im2col-dot formulation cost ~13 ms in
     relayouts at 512²/B=128 vs ~11 ms for the whole XLA level)."""
-    c, o4 = x.shape[-1], w4.shape[-1]
+    c = (x.shape[-1] // 2) if paired else x.shape[-1]
+    o4 = w4.shape[-1]
     if (
         pallas
         and _pallas_backend_ok()
@@ -396,11 +398,15 @@ def strided_packed_conv3_flat(x, w4, b, relu=True, pallas=True):
         and x.shape[1] > 5
         and c >= 16
         and (2 * c) % 64 == 0
-        and x.shape[2] % 2 == 0
+        and (paired or x.shape[2] % 2 == 0)
     ):
         from segmentation_tpu.nn.pallas.conv import conv4x4s2_flat
 
-        return conv4x4s2_flat(x, w4, tile_bias4(b), relu=relu)
+        return conv4x4s2_flat(x, w4, tile_bias4(b), relu=relu,
+                              paired=paired)
+    if paired:  # un-pair for the XLA conv (correctness fallback)
+        n, h, w2, c2 = x.shape
+        x = _reshape(x, (n, h, 2 * w2, c2 // 2))
     y = _conv_batch_sharded(x, w4.astype(x.dtype), (2, 2))
     y = y + tile_bias4(b).astype(y.dtype)
     return jax.nn.relu(y) if relu else y
@@ -526,9 +532,10 @@ class UNetS2DInference:
 
     # ---- conv-site hooks (overridden by quantized subclasses) ------------
     # Packed activations are FLAT [N, hp, wp, 4C] at every hook boundary.
-    def _strided_conv(self, p, name, h, relu=True):
+    def _strided_conv(self, p, name, h, relu=True, paired=False):
         return strided_packed_conv3_flat(
-            h, p[f"{name}/w4"], p[f"{name}/b"], relu, self.allow_pallas
+            h, p[f"{name}/w4"], p[f"{name}/b"], relu, self.allow_pallas,
+            paired,
         )
 
     def _packed_conv(self, p, name, x4, relu=True):
@@ -542,8 +549,19 @@ class UNetS2DInference:
             relu, self.allow_pallas,
         )
 
+    def _dual_can_fold_crop(self, skip4, up4, w2a) -> bool:
+        """True when the even-offset skip center-crop can ride the dual
+        kernel's index maps instead of materializing a sliced copy."""
+        return (
+            self.allow_pallas
+            and type(self)._packed_conv_dual
+            is UNetS2DInference._packed_conv_dual
+            and _pallas_conv_ok(up4.shape[-1], w2a.shape[-1])
+            and up4.shape[1] > 2
+        )
+
     def _packed_conv_pool(self, p, name, x4, width, relu=True,
-                          pallas=True):
+                          pallas=True, pool_pairs=False):
         """Second encoder conv of a packed level + the 2×2/2 pool, fused
         into one Pallas kernel when available (a standalone pool on the
         packed conv output costs a full extra HBM pass — measured
@@ -559,10 +577,23 @@ class UNetS2DInference:
             from segmentation_tpu.nn.pallas.conv import conv2x2_pool_flat
 
             return conv2x2_pool_flat(
-                x4, p[f"{name}/w2"], tile_bias4(p[f"{name}/b"]), relu=relu
+                x4, p[f"{name}/w2"], tile_bias4(p[f"{name}/b"]), relu=relu,
+                pool_pairs=pool_pairs,
             )
-        h4 = self._packed_conv(p, name, x4, relu)
-        return h4, packed_pool_flat(h4, width, self.pool_slices)
+        if type(self)._packed_conv is UNetS2DInference._packed_conv:
+            # honor the per-level gate in the fallback too (a Pallas conv
+            # here with an XLA pool re-creates the standalone-pool pass)
+            h4 = packed_conv3_flat(
+                x4, p[f"{name}/w2"], p[f"{name}/b"], relu,
+                pallas and self.allow_pallas,
+            )
+        else:
+            h4 = self._packed_conv(p, name, x4, relu)
+        pooled = packed_pool_flat(h4, width, self.pool_slices)
+        if pool_pairs:
+            n, hp, wp, cc = pooled.shape
+            pooled = _reshape(pooled, (n, hp, wp // 2, 2 * cc))
+        return h4, pooled
 
     def _std_conv(self, p, name, h, relu=True):
         y = _conv_batch_sharded(h, p[f"{name}/w"].astype(h.dtype), (1, 1))
@@ -641,18 +672,31 @@ class UNetS2DInference:
                 f"space-to-depth U-Net needs even H/W, got "
                 f"{x.shape[1]}x{x.shape[2]}; use models.unet.UNet"
             )
+        h_paired = False
         for lvl in range(pl_):
             width = k * (2**lvl)
-            # Level 1 (C=3 entry) runs entirely in XLA: its batch-in-lanes
-            # layouts are efficient there, and a Pallas c1_2 would force a
-            # ~6 ms relayout of the 2.1 GB entry-conv output. Pallas takes
-            # over from level 2 (the pool->strided boundary is free: the
-            # pair view happens inside the kernel).
-            level_pallas = h.shape[-1] >= 16
-            h4 = self._strided_conv(p, f"conv{lvl + 1}_1", h)
-            h4, h = self._packed_conv_pool(
-                p, f"conv{lvl + 1}_2", h4, width, pallas=level_pallas
+            # c1_1 (C=3 entry) stays XLA (strided_packed_conv3_flat
+            # self-gates): one boundary relayout into the Pallas region.
+            # Every other packed-level op is Pallas, and level boundaries
+            # hand off COLUMN-PAIRED pooled tensors so the next strided
+            # kernel needs no XLA reshape (measured 7.5 ms of relayout).
+            h4 = self._strided_conv(
+                p, f"conv{lvl + 1}_1", h, paired=h_paired
             )
+            want_pairs = (
+                lvl + 1 < pl_
+                and self.allow_pallas
+                and _pallas_backend_ok()
+                and type(self)._packed_conv
+                is UNetS2DInference._packed_conv
+                and type(self)._strided_conv
+                is UNetS2DInference._strided_conv
+                and (h4.shape[2] - 1) % 2 == 0
+            )
+            h4, h = self._packed_conv_pool(
+                p, f"conv{lvl + 1}_2", h4, width, pool_pairs=want_pairs
+            )
+            h_paired = want_pairs
             skips.append(("packed", h4))
 
         # ---- encoder: standard levels + bottleneck ------------------------
@@ -690,8 +734,23 @@ class UNetS2DInference:
                 sk = skip if kind == "packed" else flat4(pack2(skip))
                 sh, sw = sk.shape[1] * 2, sk.shape[2] * 2
                 off = ((sh - th) // 2, (sw - tw) // 2)
-                sk = packed_center_crop_flat(sk, width, (th, tw), off)
-                h4 = self._packed_conv_dual(p, c1, sk, h4)
+                if self._dual_can_fold_crop(sk, h4, p[f"{c1}/w2a"]):
+                    from segmentation_tpu.nn.pallas.conv import (
+                        conv2x2_dual_flat,
+                    )
+
+                    even = off[0] % 2 == 0 and off[1] % 2 == 0
+                    h4 = conv2x2_dual_flat(
+                        sk, h4, p[f"{c1}/w2a"], p[f"{c1}/w2b"],
+                        tile_bias4(p[f"{c1}/b"]),
+                        a_offset=(
+                            (off[0] // 2, off[1] // 2) if even else (0, 0)
+                        ),
+                        a_slot_phase=None if even else off,
+                    )
+                else:
+                    sk = packed_center_crop_flat(sk, width, (th, tw), off)
+                    h4 = self._packed_conv_dual(p, c1, sk, h4)
                 h4 = self._packed_conv(p, c2, h4)
                 h = h4  # stays packed (flat); unpacked once at the end
                 packed = True

@@ -200,7 +200,10 @@ class UNetS2DInt8(UNetS2DInference):
             float(jnp.max(jnp.abs(x.astype(jnp.float32)))),
         )
 
-    def _strided_conv(self, p, name, h, relu=True):
+    def _strided_conv(self, p, name, h, relu=True, paired=False):
+        if paired:  # int8 kernels take unpacked columns; un-pair first
+            n, hh, w2, c2 = h.shape
+            h = h.reshape(n, hh, 2 * w2, c2 // 2)
         if self._calibrating is not None:
             self._record(name, h)
         elif f"{name}/wq4" in p and f"{name}/ascale" in p:

@@ -97,7 +97,8 @@ def _auto_r(h_out: int, cap: int = 16) -> int:
 
 # --------------------------------------------------------------- conv2x2
 def _conv2x2_kernel(r_block, w_in, w_out, relu, out_dtype, *refs,
-                    pool_out=None):
+                    pool_out=None, pool_pairs=False, sel_e=None,
+                    sel_o=None):
     """Row-stacked formulation: the R+1 input rows are copied into a
     VMEM scratch at a sublane-aligned stride S = round8(W), so each of
     the four kernel taps becomes ONE [R*S, C] @ [C, O] matmul (M in the
@@ -133,16 +134,40 @@ def _conv2x2_kernel(r_block, w_in, w_out, relu, out_dtype, *refs,
             o = y.shape[-1]
             m = jnp.maximum(y, pltpu.roll(y, o // 2, 1))
             m = jnp.maximum(m, pltpu.roll(m, o - o // 4, 1))
-            pool_out[0, r] = m[:, : o // 4].astype(out_dtype)
+            pooled = m[:, : o // 4]
+            if pool_pairs:
+                # column-paired pool output [w/2, 2*(O/4)] — exactly the
+                # pair view the next level's strided kernel reads, so the
+                # level boundary needs NO XLA reshape (which costs two
+                # relayout passes on a [.., 32]-minor tensor).
+                # Mosaic supports neither sublane->lane shape casts nor
+                # stride-2 sublane slices, but even/odd row selection is a
+                # plain matmul with a constant 0/1 matrix (sel_even/odd
+                # [W/2, W] passed as operands).
+                pb = pooled.astype(out_dtype)
+                pe = jnp.dot(sel_e[:], pb,
+                             preferred_element_type=jnp.float32)
+                po = jnp.dot(sel_o[:], pb,
+                             preferred_element_type=jnp.float32)
+                pool_out[0, r, :, : o // 4] = pe.astype(out_dtype)
+                pool_out[0, r, :, o // 4 :] = po.astype(out_dtype)
+            else:
+                pool_out[0, r] = pooled.astype(out_dtype)
 
 
-def _conv2x2_kernel_pool(r_block, w_in, w_out, relu, out_dtype, *refs):
+def _conv2x2_kernel_pool(r_block, w_in, w_out, relu, out_dtype,
+                         pool_pairs, *refs):
+    n_sel = 2 if pool_pairs else 0
+    sel = refs[:n_sel]
+    refs = refs[n_sel:]
     n_in = 5 + r_block + 1
     ins, out_y, out_pool, xs = (
         refs[:n_in], refs[n_in], refs[n_in + 1], refs[n_in + 2]
     )
     _conv2x2_kernel(r_block, w_in, w_out, relu, out_dtype, *ins, out_y, xs,
-                    pool_out=out_pool)
+                    pool_out=out_pool, pool_pairs=pool_pairs,
+                    sel_e=sel[0] if pool_pairs else None,
+                    sel_o=sel[1] if pool_pairs else None)
 
 
 @functools.partial(
@@ -190,29 +215,43 @@ def conv2x2_flat(x, w, b, *, relu: bool = True,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("relu", "r_block", "interpret")
+    jax.jit, static_argnames=("relu", "r_block", "pool_pairs", "interpret")
 )
 def conv2x2_pool_flat(x, w, b, *, relu: bool = True,
                       r_block: Optional[int] = None,
+                      pool_pairs: bool = False,
                       interpret: bool = False):
     """conv2x2_flat plus the fused 2x2/2 slot-max pool: returns
     (y [N,H-1,W-1,O], pooled [N,H-1,W-1,O//4]). The standalone XLA pool
     on the packed conv output costs a full extra HBM pass (measured
-    14.9 ms on the 254² level at B=128); here it rides the epilogue."""
+    14.9 ms on the 254² level at B=128); here it rides the epilogue.
+    ``pool_pairs=True`` (even W-1 only) emits the pooled tensor
+    column-paired as [N, H-1, (W-1)//2, O//2] — the next strided level's
+    input layout."""
     n, h, w_in, c = x.shape
     o = w.shape[-1]
     assert _qualifies(c, o), (c, o)
     assert o % 4 == 0
     h_out, w_out = h - 1, w_in - 1
+    assert not (pool_pairs and w_out % 2), (w_out, "pairs need even W-1")
     if r_block is None:
         r_block = _auto_r(h_out)
     r_block = max(1, min(r_block, h_out))
     grid = (n, pl.cdiv(h_out, r_block))
     wt = w.astype(x.dtype)
     parts = [wt[0, 0], wt[0, 1], wt[1, 0], wt[1, 1], b.astype(jnp.float32)]
-    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+    if pool_pairs:
+        eye = np.zeros((w_out // 2, w_out), np.float32)
+        eye[np.arange(w_out // 2), 2 * np.arange(w_out // 2)] = 1.0
+        sel_e_m = jnp.asarray(eye, x.dtype)
+        eye_o = np.zeros((w_out // 2, w_out), np.float32)
+        eye_o[np.arange(w_out // 2), 2 * np.arange(w_out // 2) + 1] = 1.0
+        sel_o_m = jnp.asarray(eye_o, x.dtype)
+        parts = [sel_e_m, sel_o_m] + parts
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(parts)
     kernel = functools.partial(
-        _conv2x2_kernel_pool, r_block, w_in, w_out, relu, x.dtype
+        _conv2x2_kernel_pool, r_block, w_in, w_out, relu, x.dtype,
+        pool_pairs,
     )
     stride = _round8(w_in)
     out_spec = pl.BlockSpec(
@@ -220,8 +259,12 @@ def conv2x2_pool_flat(x, w, b, *, relu: bool = True,
         lambda n_, i: (n_, i, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    pool_shape = (
+        (n, h_out, w_out // 2, o // 2) if pool_pairs
+        else (n, h_out, w_out, o // 4)
+    )
     pool_spec = pl.BlockSpec(
-        (1, r_block, w_out, o // 4),
+        (1, r_block) + pool_shape[2:],
         lambda n_, i: (n_, i, 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -229,7 +272,7 @@ def conv2x2_pool_flat(x, w, b, *, relu: bool = True,
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((n, h_out, w_out, o), x.dtype),
-            jax.ShapeDtypeStruct((n, h_out, w_out, o // 4), x.dtype),
+            jax.ShapeDtypeStruct(pool_shape, x.dtype),
         ),
         grid=grid,
         in_specs=w_specs + _row_specs(r_block + 1, r_block, h, w_in, c),
@@ -243,23 +286,42 @@ def conv2x2_pool_flat(x, w, b, *, relu: bool = True,
 
 # ---------------------------------------------------------- conv2x2 dual
 def _conv2x2_dual_kernel(r_block, w_in, w_out, relu, out_dtype,
-                         a_col_off, *refs):
+                         a_col_off, slot_phase, n_a, *refs):
     wa = refs[:4]
     wb = refs[4:8]
     bias = refs[8]
-    rows_a = refs[9 : 9 + r_block + 1]
-    rows_b = refs[9 + r_block + 1 : 9 + 2 * (r_block + 1)]
-    out = refs[9 + 2 * (r_block + 1)]
-    xa = refs[9 + 2 * (r_block + 1) + 1]
-    xb = refs[9 + 2 * (r_block + 1) + 2]
+    rows_a = refs[9 : 9 + n_a]
+    rows_b = refs[9 + n_a : 9 + n_a + r_block + 1]
+    out = refs[9 + n_a + r_block + 1]
+    xa = refs[9 + n_a + r_block + 2]
+    xb = refs[9 + n_a + r_block + 3]
     stride = _round8(w_in)
     for j in range(r_block + 1):
-        # xa rows come from the (wider) skip tensor: the center-crop's
-        # column offset is applied here, its row offset in the index map —
-        # the crop never materializes.
-        xa[j * stride : j * stride + w_in, :] = (
-            rows_a[j][0, 0, a_col_off : a_col_off + w_in, :]
-        )
+        if slot_phase is None:
+            # xa rows come from the (wider) skip tensor: the center-crop's
+            # column offset applies here, its row offset in the index map
+            # — the crop never materializes.
+            xa[j * stride : j * stride + w_in, :] = (
+                rows_a[j][0, 0, a_col_off : a_col_off + w_in, :]
+            )
+        else:
+            # ODD-offset center-crop = slot-phase shift (unet_fast.
+            # packed_center_crop_flat): output slot (d, e) reads input
+            # slot ((oh+d)%2, (ow+e)%2) at packed offset
+            # ((oh+d)//2, (ow+e)//2). Four lane-group copies per row
+            # replace an XLA slice+stack that cost a ~4.5 ms relayout.
+            oh, ow = slot_phase
+            cg = xa.shape[-1] // 4
+            for s_out in range(4):
+                d, e = s_out // 2, s_out % 2
+                src = 2 * ((oh + d) % 2) + ((ow + e) % 2)
+                ro_d = (oh + d) // 2 - oh // 2
+                co = (ow + e) // 2
+                xa[j * stride : j * stride + w_in,
+                   s_out * cg : (s_out + 1) * cg] = (
+                    rows_a[j + ro_d][0, 0, co : co + w_in,
+                                     src * cg : (src + 1) * cg]
+                )
         xb[j * stride : j * stride + w_in, :] = rows_b[j][0, 0]
     lo_a = xa[0 : r_block * stride, :]
     hi_a = xa[stride : (r_block + 1) * stride, :]
@@ -281,22 +343,33 @@ def _conv2x2_dual_kernel(r_block, w_in, w_out, relu, out_dtype,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("relu", "r_block", "a_offset", "interpret")
+    jax.jit,
+    static_argnames=("relu", "r_block", "a_offset", "a_slot_phase",
+                     "interpret"),
 )
 def conv2x2_dual_flat(xa, xb, wa, wb, b, *, relu: bool = True,
                       r_block: Optional[int] = None,
                       a_offset=(0, 0),
+                      a_slot_phase=None,
                       interpret: bool = False):
     """conv2x2(xa, wa) + conv2x2(xb, wb) + b — the concat-free decoder
     conv (skip/up split). xb sets the output geometry; xa may be LARGER
     with ``a_offset=(row, col)`` selecting the aligned window (the skip
     center-crop, folded into the kernel's reads — no sliced copy)."""
-    ro, co = a_offset
+    if a_slot_phase is not None:
+        # UNPACKED odd center-crop offsets (oh, ow); subsumes row/col
+        # offsets. Needs one extra skip row ref (the d=1 phase).
+        ro, co = a_slot_phase[0] // 2, None
+        extra_row = 1
+    else:
+        ro, co = a_offset
+        extra_row = 0
     n, h, w_in, c = xb.shape
     assert xa.shape[0] == n and xa.shape[3] == c, (xa.shape, xb.shape)
-    assert xa.shape[1] >= h + ro and xa.shape[2] >= w_in + co, (
-        xa.shape, xb.shape, a_offset,
-    )
+    assert (
+        xa.shape[1] >= h + ro + extra_row
+        and xa.shape[2] * 2 >= 2 * w_in + (a_slot_phase or a_offset)[1]
+    ), (xa.shape, xb.shape, a_offset, a_slot_phase)
     o = wa.shape[-1]
     assert _qualifies(c, o), (c, o)
     h_out, w_out = h - 1, w_in - 1
@@ -321,10 +394,12 @@ def conv2x2_dual_flat(xa, xb, wa, wb, b, *, relu: bool = True,
             memory_space=pltpu.VMEM,
         )
 
-    row_specs_a = [mk_a(u) for u in range(r_block + 1)]
+    n_a = r_block + 1 + extra_row
+    row_specs_a = [mk_a(u) for u in range(n_a)]
     row_specs = _row_specs(r_block + 1, r_block, h, w_in, c)
     kernel = functools.partial(
-        _conv2x2_dual_kernel, r_block, w_in, w_out, relu, xa.dtype, co
+        _conv2x2_dual_kernel, r_block, w_in, w_out, relu, xa.dtype, co,
+        a_slot_phase, n_a,
     )
     stride = _round8(w_in)
     return pl.pallas_call(
@@ -342,7 +417,7 @@ def conv2x2_dual_flat(xa, xb, wa, wb, b, *, relu: bool = True,
             pltpu.VMEM(((r_block + 1) * stride, c), xa.dtype),
         ],
         interpret=interpret,
-    )(*parts, *([xa] * (r_block + 1)), *([xb] * (r_block + 1)))
+    )(*parts, *([xa] * n_a), *([xb] * (r_block + 1)))
 
 
 # ------------------------------------------------------------ conv4x4s2
@@ -374,18 +449,32 @@ def _conv4x4s2_kernel(r_block, w2_in, w_out, relu, out_dtype, *refs):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("relu", "r_block", "interpret")
+    jax.jit, static_argnames=("relu", "r_block", "paired", "interpret")
 )
 def conv4x4s2_flat(x, w4, b, *, relu: bool = True, r_block: int = 8,
-                   interpret: bool = False):
+                   paired: bool = False, interpret: bool = False):
     """4×4 stride-2 VALID conv (the strided s2d entry conv): unpacked
     input [N, H, W, C] (W even), packed flat output
     [N, (H-2)//2, (W-2)//2, O4]. Requires 2C and O4 to be 128-multiples
     (C=32 entry: 2C=64 -> handled by the pair view ONLY when 2C%128==0;
     callers fall back to XLA otherwise)."""
-    n, h, w_in, c = x.shape
+    if paired:
+        # x is ALREADY the pair view [N, H, W/2, 2C] (e.g. the fused
+        # conv+pool kernel's pool_pairs output) — no reshape anywhere.
+        n, h, w2_in, c2 = x.shape
+        c = c2 // 2
+        w_in = 2 * w2_in
+        xp = x
+    else:
+        n, h, w_in, c = x.shape
+        assert w_in % 2 == 0, w_in
+        w2_in = w_in // 2
+        # pair view [N, H, W/2, 2C]: produced by the (XLA) upstream
+        # region, so the relayout to Pallas row-major fuses with whatever
+        # copy the XLA->Pallas boundary needs anyway. (Mosaic cannot
+        # shape-cast sublanes into lanes in-kernel.)
+        xp = x.reshape(n, h, w2_in, 2 * c)
     o4 = w4.shape[-1]
-    assert w_in % 2 == 0, w_in
     # 2C=64 (the C=32 entry site) is allowed: K=64 matmuls half-fill the
     # MXU contraction dim, but the site is small and the XLA alternative
     # pads lanes 4x. Lane dim O4 stays 128-strict.
@@ -393,12 +482,6 @@ def conv4x4s2_flat(x, w4, b, *, relu: bool = True, r_block: int = 8,
     h_out, w_out = (h - 2) // 2, (w_in - 2) // 2
     r_block = max(1, min(r_block, h_out))
     grid = (n, pl.cdiv(h_out, r_block))
-    w2_in = w_in // 2
-    # pair view [N, H, W/2, 2C]: produced by the (XLA) upstream region, so
-    # the relayout to Pallas row-major fuses with whatever copy the
-    # XLA->Pallas boundary needs anyway. (Mosaic cannot shape-cast
-    # sublanes into lanes in-kernel.)
-    xp = x.reshape(n, h, w2_in, 2 * c)
     wt = w4.astype(x.dtype)  # [4, 4, C, O4]
     # pair j covers cols (2j, 2j+1) = taps (v=0, v=1); pair j+1 covers
     # taps (v=2, v=3). Column taps stack into K=2C per row-tap u; the 4
@@ -503,11 +586,12 @@ def matmul_rows_flat(x, wm, b, *, relu: bool = True,
 # ---------------------------------------------------- deconv (packed in)
 def _deconv_packed_kernel(r_half, w_in, relu, out_dtype, *refs):
     # wsel[a][b]: [4C, 4O] = wm rows placed at slot block (2a+b)
-    wsel = refs[:4]
-    bias = refs[4]
-    rows = refs[5 : 5 + r_half]
-    out = refs[5 + r_half]
-    xs = refs[5 + r_half + 1]
+    il_e, il_o = refs[:2]        # [2J, J] interleave selectors
+    wsel = refs[2:6]
+    bias = refs[6]
+    rows = refs[7 : 7 + r_half]
+    out = refs[7 + r_half]
+    xs = refs[7 + r_half + 1]
     stride = _round8(w_in)
     for j in range(r_half):
         xs[j * stride : j * stride + w_in, :] = rows[j][0, 0]
@@ -519,8 +603,12 @@ def _deconv_packed_kernel(r_half, w_in, relu, out_dtype, *refs):
         a, i_loc = r % 2, r // 2
         p0 = prods[2 * a][i_loc * stride : i_loc * stride + w_in]
         p1 = prods[2 * a + 1][i_loc * stride : i_loc * stride + w_in]
-        y = jnp.stack([p0, p1], axis=1)          # [J, 2, 4O]
-        y = y.reshape(2 * w_in, p0.shape[-1])    # row-major interleave
+        # column interleave out[2j+b] = p_b[j] as two selection matmuls
+        # (stack+reshape lowers to sublane relayout copies in Mosaic)
+        y = jnp.dot(il_e[:], p0.astype(out_dtype),
+                    preferred_element_type=jnp.float32)
+        y += jnp.dot(il_o[:], p1.astype(out_dtype),
+                     preferred_element_type=jnp.float32)
         out[0, r] = _epilogue(y, bias, relu, out_dtype)
 
 
@@ -552,8 +640,13 @@ def deconv_packed_flat(x4, wm, b, *, relu: bool = True,
     for s in range(4):
         ws = zeros.at[s * c : (s + 1) * c].set(wmt)
         wsel.append(ws)
-    parts = wsel + [b.astype(jnp.float32)]
-    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+    il_e = np.zeros((2 * j_in, j_in), np.float32)
+    il_e[2 * np.arange(j_in), np.arange(j_in)] = 1.0
+    il_o = np.zeros((2 * j_in, j_in), np.float32)
+    il_o[2 * np.arange(j_in) + 1, np.arange(j_in)] = 1.0
+    parts = [jnp.asarray(il_e, x4.dtype), jnp.asarray(il_o, x4.dtype)]
+    parts += wsel + [b.astype(jnp.float32)]
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
 
     def mk(u):
         return pl.BlockSpec(

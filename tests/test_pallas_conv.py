@@ -146,3 +146,45 @@ def test_deconv_packed_parity(np_rng):
     want = deconv2_packed_in_flat(x4, wm, b, o)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_conv2x2_pool_pairs_parity(np_rng):
+    """pool_pairs=True emits the column-paired pool layout."""
+    from segmentation_tpu.models.unet_fast import packed_pool_flat
+    from segmentation_tpu.nn.pallas.conv import conv2x2_pool_flat
+
+    c, o = 128, 128
+    x = jnp.asarray(np_rng.normal(size=(2, 12, 23, c)), jnp.float32)
+    w = jnp.asarray(np_rng.normal(size=(2, 2, c, o)) * 0.05, jnp.float32)
+    b = jnp.asarray(np_rng.normal(size=(o,)), jnp.float32)
+    y, paired = conv2x2_pool_flat(x, w, b, r_block=4, pool_pairs=True,
+                                  interpret=True)
+    want_y = _oracle_conv(x, w, b, (1, 1), True)
+    want_p = np.asarray(packed_pool_flat(want_y, o // 4))
+    n, hp, wp, cc = want_p.shape
+    want_paired = want_p.reshape(n, hp, wp // 2, 2 * cc)
+    assert paired.shape == want_paired.shape
+    np.testing.assert_allclose(np.asarray(paired), want_paired,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv2x2_dual_slot_phase_crop(np_rng):
+    """a_slot_phase folds the ODD-offset (slot-phase) center-crop."""
+    from segmentation_tpu.models.unet_fast import packed_center_crop_flat
+
+    c = o = 128
+    cg = c // 4
+    xa_full = jnp.asarray(np_rng.normal(size=(2, 19, 21, c)), jnp.float32)
+    xb = jnp.asarray(np_rng.normal(size=(2, 11, 13, c)), jnp.float32)
+    wa = jnp.asarray(np_rng.normal(size=(2, 2, c, o)) * 0.05, jnp.float32)
+    wb = jnp.asarray(np_rng.normal(size=(2, 2, c, o)) * 0.05, jnp.float32)
+    b = jnp.asarray(np_rng.normal(size=(o,)), jnp.float32)
+    off = (5, 3)  # odd unpacked offsets
+    got = conv2x2_dual_flat(xa_full, xb, wa, wb, b, r_block=4,
+                            a_slot_phase=off, interpret=True)
+    sk = packed_center_crop_flat(xa_full, cg, (22, 26), off)
+    x = jnp.concatenate([sk, xb], axis=-1)
+    w = jnp.concatenate([wa, wb], axis=2)
+    want = _oracle_conv(x, w, b, (1, 1), True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
