@@ -75,11 +75,42 @@ def _row_specs(n_rows: int, r_block: int, h_in: int, w: int, c: int):
     return [mk(u) for u in range(n_rows)]
 
 
-def _epilogue(acc, bias_ref, relu, out_dtype):
-    y = acc + bias_ref[:].astype(jnp.float32)
+def _epilogue(acc, bias_ref, relu, out_dtype, chan_scale=None,
+              out_inv=None):
+    """acc (f32 or i32) -> y = acc*chan_scale + bias; relu; cast.
+
+    chan_scale: per-out-channel [O] f32 ref (int8 dequant: wscale*ascale);
+    out_inv: (1,1) f32 SMEM ref holding 1/out_scale — requantize the
+    result to int8 (the int8-resident activation path)."""
+    y = acc.astype(jnp.float32)
+    if chan_scale is not None:
+        y = y * chan_scale[:]
+    y = y + bias_ref[:].astype(jnp.float32)
     if relu:
         y = jnp.maximum(y, 0.0)
+    if out_inv is not None:
+        q = jnp.round(y * out_inv[0, 0])
+        return jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
     return y.astype(out_dtype)
+
+
+def _quant_rows(v, act_inv):
+    """bf16/f32 row -> int8 with the (1,1) SMEM inverse-scale ref; None
+    passes through (input already int8)."""
+    if act_inv is None:
+        return v
+    q = jnp.round(v.astype(jnp.float32) * act_inv[0, 0])
+    return jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
+
+
+def _smem_scalar(x):
+    """Host/f32 scalar -> (1,1) f32 array + SMEM BlockSpec."""
+    arr = jnp.asarray(x, jnp.float32).reshape(1, 1)
+    spec = pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)
+    return arr, spec
+
+
+_INT8_PREF = jnp.int32
 
 
 def _round8(n: int) -> int:
@@ -96,9 +127,15 @@ def _auto_r(h_out: int, cap: int = 16) -> int:
 
 
 # --------------------------------------------------------------- conv2x2
-def _conv2x2_kernel(r_block, w_in, w_out, relu, out_dtype, *refs,
-                    pool_out=None, pool_pairs=False, sel_e=None,
-                    sel_o=None):
+def _stride_for(w_in, quant):
+    # int8 tiles are (32, 128): row spacing in the stacked scratch must be
+    # 32-aligned or every matmul operand slice relayouts.
+    return (w_in + 31) // 32 * 32 if quant else _round8(w_in)
+
+
+def _conv2x2_kernel(r_block, w_in, w_out, relu, out_dtype, quant, in_int8,
+                    out_int8, *refs, pool_out=None, pool_pairs=False,
+                    sel_e=None, sel_o=None):
     """Row-stacked formulation: the R+1 input rows are copied into a
     VMEM scratch at a sublane-aligned stride S = round8(W), so each of
     the four kernel taps becomes ONE [R*S, C] @ [C, O] matmul (M in the
@@ -109,30 +146,45 @@ def _conv2x2_kernel(r_block, w_in, w_out, relu, out_dtype, *refs,
     the whole stacked block. Row padding (S-W positions) only ever feeds
     padding positions, never a real output column."""
     w00, w01, w10, w11, bias = refs[:5]
-    rows = refs[5 : 5 + r_block + 1]
-    out = refs[5 + r_block + 1]
-    xs = refs[5 + r_block + 2]                          # [(R+1)*S, C]
-    stride = _round8(w_in)
+    k = 5
+    chan_scale = act_inv = out_inv = None
+    if quant:
+        chan_scale = refs[k]; k += 1
+        if not in_int8:
+            act_inv = refs[k]; k += 1
+        if out_int8:
+            out_inv = refs[k]; k += 1
+    rows = refs[k : k + r_block + 1]
+    out = refs[k + r_block + 1]
+    xs = refs[k + r_block + 2]                          # [(R+1)*S, C]
+    stride = _stride_for(w_in, quant)
+    pref = _INT8_PREF if quant else jnp.float32
     for j in range(r_block + 1):
-        xs[j * stride : j * stride + w_in, :] = rows[j][0, 0]
+        xs[j * stride : j * stride + w_in, :] = _quant_rows(
+            rows[j][0, 0], act_inv
+        ) if quant else rows[j][0, 0]
     lo = xs[0 : r_block * stride, :]
     hi = xs[stride : (r_block + 1) * stride, :]
-    keep = jnp.dot(lo, w00[:], preferred_element_type=jnp.float32)
-    keep += jnp.dot(hi, w10[:], preferred_element_type=jnp.float32)
-    shift = jnp.dot(lo, w01[:], preferred_element_type=jnp.float32)
-    shift += jnp.dot(hi, w11[:], preferred_element_type=jnp.float32)
+    keep = jnp.dot(lo, w00[:], preferred_element_type=pref)
+    keep += jnp.dot(hi, w10[:], preferred_element_type=pref)
+    shift = jnp.dot(lo, w01[:], preferred_element_type=pref)
+    shift += jnp.dot(hi, w11[:], preferred_element_type=pref)
     acc = keep + pltpu.roll(shift, shift.shape[0] - 1, 0)
     for r in range(r_block):
         y = _epilogue(acc[r * stride : r * stride + w_out], bias, relu,
-                      jnp.float32)
-        out[0, r] = y.astype(out_dtype)
+                      jnp.float32, chan_scale, out_inv)
+        out[0, r] = y if out_inv is not None else y.astype(out_dtype)
         if pool_out is not None:
             # fused 2x2/2 max-pool = slot-max over the 4 packed channel
             # groups: two lane rotations + maxima, then the first C/4
             # lanes hold max over all 4 slots. Runs on the f32 epilogue
             # (relu is monotone, so pool-of-relu == relu-of-pool).
             o = y.shape[-1]
-            m = jnp.maximum(y, pltpu.roll(y, o // 2, 1))
+            yp = (
+                y.astype(jnp.int32) if out_inv is not None
+                else y.astype(jnp.float32)
+            )  # lane rolls are 32-bit only
+            m = jnp.maximum(yp, pltpu.roll(yp, o // 2, 1))
             m = jnp.maximum(m, pltpu.roll(m, o - o // 4, 1))
             pooled = m[:, : o // 4]
             if pool_pairs:
@@ -144,30 +196,65 @@ def _conv2x2_kernel(r_block, w_in, w_out, relu, out_dtype, *refs,
                 # stride-2 sublane slices, but even/odd row selection is a
                 # plain matmul with a constant 0/1 matrix (sel_even/odd
                 # [W/2, W] passed as operands).
-                pb = pooled.astype(out_dtype)
-                pe = jnp.dot(sel_e[:], pb,
-                             preferred_element_type=jnp.float32)
-                po = jnp.dot(sel_o[:], pb,
-                             preferred_element_type=jnp.float32)
-                pool_out[0, r, :, : o // 4] = pe.astype(out_dtype)
-                pool_out[0, r, :, o // 4 :] = po.astype(out_dtype)
+                pdt = jnp.int8 if out_inv is not None else out_dtype
+                pb = pooled.astype(pdt)
+                pe = jnp.dot(sel_e[:], pb, preferred_element_type=pref)
+                po = jnp.dot(sel_o[:], pb, preferred_element_type=pref)
+                pool_out[0, r, :, : o // 4] = pe.astype(pdt)
+                pool_out[0, r, :, o // 4 :] = po.astype(pdt)
             else:
-                pool_out[0, r] = pooled.astype(out_dtype)
+                pdt = jnp.int8 if out_inv is not None else out_dtype
+                pool_out[0, r] = pooled.astype(pdt)
 
 
 def _conv2x2_kernel_pool(r_block, w_in, w_out, relu, out_dtype,
-                         pool_pairs, *refs):
+                         pool_pairs, quant, in_int8, out_int8, *refs):
     n_sel = 2 if pool_pairs else 0
     sel = refs[:n_sel]
     refs = refs[n_sel:]
-    n_in = 5 + r_block + 1
+    n_in = (5 + (1 if quant else 0) + (1 if quant and not in_int8 else 0)
+            + (1 if quant and out_int8 else 0) + r_block + 1)
     ins, out_y, out_pool, xs = (
         refs[:n_in], refs[n_in], refs[n_in + 1], refs[n_in + 2]
     )
-    _conv2x2_kernel(r_block, w_in, w_out, relu, out_dtype, *ins, out_y, xs,
+    _conv2x2_kernel(r_block, w_in, w_out, relu, out_dtype, quant, in_int8,
+                    out_int8, *ins, out_y, xs,
                     pool_out=out_pool, pool_pairs=pool_pairs,
                     sel_e=sel[0] if pool_pairs else None,
                     sel_o=sel[1] if pool_pairs else None)
+
+
+def _quant_parts(w, b, quant, x_dtype):
+    """Shared wrapper plumbing for the int8 path.
+
+    quant: None (float path) or a dict with
+      chan_scale: [O] f32 per-out-channel dequant scale (wscale*ascale)
+      act_scale:  float input scale (quantize bf16 rows in-kernel) or
+                  None when x is already int8
+      out_scale:  float output scale (emit int8) or None (emit x_dtype)
+    Returns (parts, specs, quant_flags, compute_dtype, out_dtype).
+    """
+    if quant is None:
+        wt = w if w.dtype == jnp.int8 else w.astype(x_dtype)
+        return ([wt, b.astype(jnp.float32)], [None, None],
+                (False, False, False), wt.dtype, x_dtype)
+    in_int8 = quant.get("act_scale") is None
+    out_int8 = quant.get("out_scale") is not None
+    parts = [w, b.astype(jnp.float32),
+             jnp.asarray(quant["chan_scale"], jnp.float32)]
+    specs = [None, None, pl.BlockSpec(memory_space=pltpu.VMEM)]
+    if not in_int8:
+        arr, spec = _smem_scalar(1.0 / quant["act_scale"])
+        parts.append(arr); specs.append(spec)
+    if out_int8:
+        arr, spec = _smem_scalar(1.0 / quant["out_scale"])
+        parts.append(arr); specs.append(spec)
+    # float output of an int8-resident input is bf16, never int8
+    out_dtype = (
+        jnp.int8 if out_int8
+        else (jnp.bfloat16 if x_dtype == jnp.int8 else x_dtype)
+    )
+    return parts, specs, (True, in_int8, out_int8), jnp.int8, out_dtype
 
 
 @functools.partial(
@@ -176,12 +263,14 @@ def _conv2x2_kernel_pool(r_block, w_in, w_out, relu, out_dtype,
 )
 def conv2x2_flat(x, w, b, *, relu: bool = True,
                  r_block: Optional[int] = None,
+                 quant=None,
                  interpret: bool = False):
     """2×2 VALID conv, flat packed layout (bias+ReLU fused).
 
     x: [N, H, W, C]; w: [2, 2, C, O]; b: [O] (tiled flat bias).
     Returns [N, H-1, W-1, O] in x.dtype. C, O must be 128-multiples.
-    """
+    ``quant``: int8 path — see _quant_parts (w must then be int8; MXU
+    runs at the 2x int8 rate, i32 accumulate, f32 dequant epilogue)."""
     n, h, w_in, c = x.shape
     o = w.shape[-1]
     assert _qualifies(c, o), (c, o)
@@ -190,16 +279,21 @@ def conv2x2_flat(x, w, b, *, relu: bool = True,
         r_block = _auto_r(h_out)
     r_block = max(1, min(r_block, h_out))
     grid = (n, pl.cdiv(h_out, r_block))
-    wt = w.astype(x.dtype)
-    parts = [wt[0, 0], wt[0, 1], wt[1, 0], wt[1, 1], b.astype(jnp.float32)]
-    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
-    kernel = functools.partial(
-        _conv2x2_kernel, r_block, w_in, w_out, relu, x.dtype
+    qparts, qspecs, qflags, cdt, out_dtype = _quant_parts(
+        w, b, quant, x.dtype
     )
-    stride = _round8(w_in)
+    wt = qparts[0]
+    parts = [wt[0, 0], wt[0, 1], wt[1, 0], wt[1, 1]] + qparts[1:]
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4 + [
+        sp or pl.BlockSpec(memory_space=pltpu.VMEM) for sp in qspecs[1:]
+    ]
+    kernel = functools.partial(
+        _conv2x2_kernel, r_block, w_in, w_out, relu, out_dtype, *qflags
+    )
+    stride = _stride_for(w_in, qflags[0])
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, h_out, w_out, o), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, h_out, w_out, o), out_dtype),
         grid=grid,
         in_specs=w_specs + _row_specs(r_block + 1, r_block, h, w_in, c),
         out_specs=pl.BlockSpec(
@@ -208,7 +302,7 @@ def conv2x2_flat(x, w, b, *, relu: bool = True,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM(((r_block + 1) * stride, c), x.dtype),
+            pltpu.VMEM(((r_block + 1) * stride, c), cdt),
         ],
         interpret=interpret,
     )(*parts, *([x] * (r_block + 1)))
@@ -220,6 +314,7 @@ def conv2x2_flat(x, w, b, *, relu: bool = True,
 def conv2x2_pool_flat(x, w, b, *, relu: bool = True,
                       r_block: Optional[int] = None,
                       pool_pairs: bool = False,
+                      quant=None,
                       interpret: bool = False):
     """conv2x2_flat plus the fused 2x2/2 slot-max pool: returns
     (y [N,H-1,W-1,O], pooled [N,H-1,W-1,O//4]). The standalone XLA pool
@@ -238,22 +333,29 @@ def conv2x2_pool_flat(x, w, b, *, relu: bool = True,
         r_block = _auto_r(h_out)
     r_block = max(1, min(r_block, h_out))
     grid = (n, pl.cdiv(h_out, r_block))
-    wt = w.astype(x.dtype)
-    parts = [wt[0, 0], wt[0, 1], wt[1, 0], wt[1, 1], b.astype(jnp.float32)]
+    qparts, qspecs, qflags, cdt, out_dtype = _quant_parts(
+        w, b, quant, x.dtype
+    )
+    wt = qparts[0]
+    parts = [wt[0, 0], wt[0, 1], wt[1, 0], wt[1, 1]] + qparts[1:]
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4 + [
+        sp or pl.BlockSpec(memory_space=pltpu.VMEM) for sp in qspecs[1:]
+    ]
     if pool_pairs:
+        sel_dt = jnp.int8 if qflags[2] else x.dtype
         eye = np.zeros((w_out // 2, w_out), np.float32)
         eye[np.arange(w_out // 2), 2 * np.arange(w_out // 2)] = 1.0
-        sel_e_m = jnp.asarray(eye, x.dtype)
+        sel_e_m = jnp.asarray(eye, sel_dt)
         eye_o = np.zeros((w_out // 2, w_out), np.float32)
         eye_o[np.arange(w_out // 2), 2 * np.arange(w_out // 2) + 1] = 1.0
-        sel_o_m = jnp.asarray(eye_o, x.dtype)
+        sel_o_m = jnp.asarray(eye_o, sel_dt)
         parts = [sel_e_m, sel_o_m] + parts
-    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(parts)
+        w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 + w_specs
     kernel = functools.partial(
-        _conv2x2_kernel_pool, r_block, w_in, w_out, relu, x.dtype,
-        pool_pairs,
+        _conv2x2_kernel_pool, r_block, w_in, w_out, relu, out_dtype,
+        pool_pairs, *qflags,
     )
-    stride = _round8(w_in)
+    stride = _stride_for(w_in, qflags[0])
     out_spec = pl.BlockSpec(
         (1, r_block, w_out, o),
         lambda n_, i: (n_, i, 0, 0),
@@ -271,14 +373,14 @@ def conv2x2_pool_flat(x, w, b, *, relu: bool = True,
     return pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((n, h_out, w_out, o), x.dtype),
-            jax.ShapeDtypeStruct(pool_shape, x.dtype),
+            jax.ShapeDtypeStruct((n, h_out, w_out, o), out_dtype),
+            jax.ShapeDtypeStruct(pool_shape, out_dtype),
         ),
         grid=grid,
         in_specs=w_specs + _row_specs(r_block + 1, r_block, h, w_in, c),
         out_specs=(out_spec, pool_spec),
         scratch_shapes=[
-            pltpu.VMEM(((r_block + 1) * stride, c), x.dtype),
+            pltpu.VMEM(((r_block + 1) * stride, c), cdt),
         ],
         interpret=interpret,
     )(*parts, *([x] * (r_block + 1)))
@@ -286,22 +388,34 @@ def conv2x2_pool_flat(x, w, b, *, relu: bool = True,
 
 # ---------------------------------------------------------- conv2x2 dual
 def _conv2x2_dual_kernel(r_block, w_in, w_out, relu, out_dtype,
-                         a_col_off, slot_phase, n_a, *refs):
+                         a_col_off, slot_phase, n_a, quant, in_int8,
+                         out_int8, *refs):
     wa = refs[:4]
     wb = refs[4:8]
     bias = refs[8]
-    rows_a = refs[9 : 9 + n_a]
-    rows_b = refs[9 + n_a : 9 + n_a + r_block + 1]
-    out = refs[9 + n_a + r_block + 1]
-    xa = refs[9 + n_a + r_block + 2]
-    xb = refs[9 + n_a + r_block + 3]
-    stride = _round8(w_in)
+    k = 9
+    sc_a = sc_b = ai_a = ai_b = out_inv = None
+    if quant:
+        sc_a = refs[k]; sc_b = refs[k + 1]; k += 2
+        if not in_int8:
+            ai_a = refs[k]; ai_b = refs[k + 1]; k += 2
+        if out_int8:
+            out_inv = refs[k]; k += 1
+    rows_a = refs[k : k + n_a]
+    rows_b = refs[k + n_a : k + n_a + r_block + 1]
+    out = refs[k + n_a + r_block + 1]
+    xa = refs[k + n_a + r_block + 2]
+    xb = refs[k + n_a + r_block + 3]
+    stride = _stride_for(w_in, quant)
+    pref = _INT8_PREF if quant else jnp.float32
     for j in range(r_block + 1):
         if slot_phase is None:
             # xa rows come from the (wider) skip tensor: the center-crop's
             # column offset applies here, its row offset in the index map
             # — the crop never materializes.
-            xa[j * stride : j * stride + w_in, :] = (
+            xa[j * stride : j * stride + w_in, :] = _quant_rows(
+                rows_a[j][0, 0, a_col_off : a_col_off + w_in, :], ai_a
+            ) if quant else (
                 rows_a[j][0, 0, a_col_off : a_col_off + w_in, :]
             )
         else:
@@ -317,28 +431,41 @@ def _conv2x2_dual_kernel(r_block, w_in, w_out, relu, out_dtype,
                 src = 2 * ((oh + d) % 2) + ((ow + e) % 2)
                 ro_d = (oh + d) // 2 - oh // 2
                 co = (ow + e) // 2
+                grp = rows_a[j + ro_d][0, 0, co : co + w_in,
+                                       src * cg : (src + 1) * cg]
                 xa[j * stride : j * stride + w_in,
                    s_out * cg : (s_out + 1) * cg] = (
-                    rows_a[j + ro_d][0, 0, co : co + w_in,
-                                     src * cg : (src + 1) * cg]
+                    _quant_rows(grp, ai_a) if quant else grp
                 )
-        xb[j * stride : j * stride + w_in, :] = rows_b[j][0, 0]
+        xb[j * stride : j * stride + w_in, :] = (
+            _quant_rows(rows_b[j][0, 0], ai_b) if quant
+            else rows_b[j][0, 0]
+        )
     lo_a = xa[0 : r_block * stride, :]
     hi_a = xa[stride : (r_block + 1) * stride, :]
     lo_b = xb[0 : r_block * stride, :]
     hi_b = xb[stride : (r_block + 1) * stride, :]
-    keep = jnp.dot(lo_a, wa[0][:], preferred_element_type=jnp.float32)
-    keep += jnp.dot(hi_a, wa[2][:], preferred_element_type=jnp.float32)
-    keep += jnp.dot(lo_b, wb[0][:], preferred_element_type=jnp.float32)
-    keep += jnp.dot(hi_b, wb[2][:], preferred_element_type=jnp.float32)
-    shift = jnp.dot(lo_a, wa[1][:], preferred_element_type=jnp.float32)
-    shift += jnp.dot(hi_a, wa[3][:], preferred_element_type=jnp.float32)
-    shift += jnp.dot(lo_b, wb[1][:], preferred_element_type=jnp.float32)
-    shift += jnp.dot(hi_b, wb[3][:], preferred_element_type=jnp.float32)
-    acc = keep + pltpu.roll(shift, shift.shape[0] - 1, 0)
+    keep_a = jnp.dot(lo_a, wa[0][:], preferred_element_type=pref)
+    keep_a += jnp.dot(hi_a, wa[2][:], preferred_element_type=pref)
+    shift_a = jnp.dot(lo_a, wa[1][:], preferred_element_type=pref)
+    shift_a += jnp.dot(hi_a, wa[3][:], preferred_element_type=pref)
+    keep_b = jnp.dot(lo_b, wb[0][:], preferred_element_type=pref)
+    keep_b += jnp.dot(hi_b, wb[2][:], preferred_element_type=pref)
+    shift_b = jnp.dot(lo_b, wb[1][:], preferred_element_type=pref)
+    shift_b += jnp.dot(hi_b, wb[3][:], preferred_element_type=pref)
+    acc_a = keep_a + pltpu.roll(shift_a, shift_a.shape[0] - 1, 0)
+    acc_b = keep_b + pltpu.roll(shift_b, shift_b.shape[0] - 1, 0)
+    if quant:
+        # the two operands carry independent dequant scales, so they sum
+        # AFTER per-channel rescale
+        acc = (acc_a.astype(jnp.float32) * sc_a[:]
+               + acc_b.astype(jnp.float32) * sc_b[:])
+    else:
+        acc = acc_a + acc_b
     for r in range(r_block):
         out[0, r] = _epilogue(
-            acc[r * stride : r * stride + w_out], bias, relu, out_dtype
+            acc[r * stride : r * stride + w_out], bias, relu, out_dtype,
+            None, out_inv,
         )
 
 
@@ -351,6 +478,7 @@ def conv2x2_dual_flat(xa, xb, wa, wb, b, *, relu: bool = True,
                       r_block: Optional[int] = None,
                       a_offset=(0, 0),
                       a_slot_phase=None,
+                      quant=None,
                       interpret: bool = False):
     """conv2x2(xa, wa) + conv2x2(xb, wb) + b — the concat-free decoder
     conv (skip/up split). xb sets the output geometry; xa may be LARGER
@@ -377,11 +505,36 @@ def conv2x2_dual_flat(xa, xb, wa, wb, b, *, relu: bool = True,
         r_block = _auto_r(h_out)
     r_block = max(1, min(r_block, h_out))
     grid = (n, pl.cdiv(h_out, r_block))
-    wta, wtb = wa.astype(xa.dtype), wb.astype(xa.dtype)
+    if quant is None:
+        wta, wtb = wa.astype(xb.dtype), wb.astype(xb.dtype)
+        qflags = (False, False, False)
+        cdt, out_dtype = xb.dtype, xb.dtype
+        extra_parts, extra_specs = [], []
+    else:
+        wta, wtb = wa, wb  # already int8
+        in_int8 = quant.get("act_scale_a") is None
+        out_int8 = quant.get("out_scale") is not None
+        qflags = (True, in_int8, out_int8)
+        cdt = jnp.int8
+        out_dtype = jnp.int8 if out_int8 else (
+            jnp.bfloat16 if xb.dtype == jnp.int8 else xb.dtype
+        )
+        extra_parts = [
+            jnp.asarray(quant["chan_scale_a"], jnp.float32),
+            jnp.asarray(quant["chan_scale_b"], jnp.float32),
+        ]
+        extra_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        if not in_int8:
+            for key in ("act_scale_a", "act_scale_b"):
+                arr, spec = _smem_scalar(1.0 / quant[key])
+                extra_parts.append(arr); extra_specs.append(spec)
+        if out_int8:
+            arr, spec = _smem_scalar(1.0 / quant["out_scale"])
+            extra_parts.append(arr); extra_specs.append(spec)
     parts = [wta[0, 0], wta[0, 1], wta[1, 0], wta[1, 1],
              wtb[0, 0], wtb[0, 1], wtb[1, 0], wtb[1, 1],
-             b.astype(jnp.float32)]
-    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
+             b.astype(jnp.float32)] + extra_parts
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9 + extra_specs
 
     def mk_a(u):
         return pl.BlockSpec(
@@ -398,13 +551,13 @@ def conv2x2_dual_flat(xa, xb, wa, wb, b, *, relu: bool = True,
     row_specs_a = [mk_a(u) for u in range(n_a)]
     row_specs = _row_specs(r_block + 1, r_block, h, w_in, c)
     kernel = functools.partial(
-        _conv2x2_dual_kernel, r_block, w_in, w_out, relu, xa.dtype, co,
-        a_slot_phase, n_a,
+        _conv2x2_dual_kernel, r_block, w_in, w_out, relu, out_dtype, co,
+        a_slot_phase, n_a, *qflags,
     )
-    stride = _round8(w_in)
+    stride = _stride_for(w_in, qflags[0])
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, h_out, w_out, o), xa.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, h_out, w_out, o), out_dtype),
         grid=grid,
         in_specs=w_specs + row_specs_a + row_specs,
         out_specs=pl.BlockSpec(
@@ -413,15 +566,16 @@ def conv2x2_dual_flat(xa, xb, wa, wb, b, *, relu: bool = True,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM(((r_block + 1) * stride, c), xa.dtype),
-            pltpu.VMEM(((r_block + 1) * stride, c), xa.dtype),
+            pltpu.VMEM(((r_block + 1) * stride, c), cdt),
+            pltpu.VMEM(((r_block + 1) * stride, c), cdt),
         ],
         interpret=interpret,
     )(*parts, *([xa] * n_a), *([xb] * (r_block + 1)))
 
 
 # ------------------------------------------------------------ conv4x4s2
-def _conv4x4s2_kernel(r_block, w2_in, w_out, relu, out_dtype, *refs):
+def _conv4x4s2_kernel(r_block, w2_in, w_out, relu, out_dtype, quant,
+                      in_int8, out_int8, *refs):
     """Row-stacked strided kernel: out row r consumes input rows 2r..2r+3
     (pair view [W/2, 2C]); the 4 row-taps stack into the LANE dim of one
     scratch (K = 8C), so the whole block is TWO [R*S, 8C] @ [8C, O4]
@@ -430,21 +584,34 @@ def _conv4x4s2_kernel(r_block, w2_in, w_out, relu, out_dtype, *refs):
     wk = refs[0]           # [8C, O4] pair-j taps, u-stacked
     ws = refs[1]           # [8C, O4] pair-(j+1) taps
     bias = refs[2]
-    rows = refs[3 : 3 + 2 * r_block + 2]
-    out = refs[3 + 2 * r_block + 2]
-    x4 = refs[3 + 2 * r_block + 3]                       # [R*S, 8C]
+    k = 3
+    chan_scale = act_inv = out_inv = None
+    if quant:
+        chan_scale = refs[k]; k += 1
+        if not in_int8:
+            act_inv = refs[k]; k += 1
+        if out_int8:
+            out_inv = refs[k]; k += 1
+    rows = refs[k : k + 2 * r_block + 2]
+    out = refs[k + 2 * r_block + 2]
+    x4 = refs[k + 2 * r_block + 3]                       # [R*S, 8C]
     c2 = rows[0].shape[-1]
-    stride = _round8(w2_in)
+    stride = _stride_for(w2_in, quant)
+    pref = _INT8_PREF if quant else jnp.float32
     for r in range(r_block):
         for u in range(4):
             x4[r * stride : r * stride + w2_in,
-               u * c2 : (u + 1) * c2] = rows[2 * r + u][0, 0]
-    keep = jnp.dot(x4[:], wk[:], preferred_element_type=jnp.float32)
-    shift = jnp.dot(x4[:], ws[:], preferred_element_type=jnp.float32)
+               u * c2 : (u + 1) * c2] = (
+                _quant_rows(rows[2 * r + u][0, 0], act_inv) if quant
+                else rows[2 * r + u][0, 0]
+            )
+    keep = jnp.dot(x4[:], wk[:], preferred_element_type=pref)
+    shift = jnp.dot(x4[:], ws[:], preferred_element_type=pref)
     acc = keep + pltpu.roll(shift, shift.shape[0] - 1, 0)
     for r in range(r_block):
         out[0, r] = _epilogue(
-            acc[r * stride : r * stride + w_out], bias, relu, out_dtype
+            acc[r * stride : r * stride + w_out], bias, relu, out_dtype,
+            chan_scale, out_inv,
         )
 
 
@@ -452,7 +619,8 @@ def _conv4x4s2_kernel(r_block, w2_in, w_out, relu, out_dtype, *refs):
     jax.jit, static_argnames=("relu", "r_block", "paired", "interpret")
 )
 def conv4x4s2_flat(x, w4, b, *, relu: bool = True, r_block: int = 8,
-                   paired: bool = False, interpret: bool = False):
+                   paired: bool = False, quant=None,
+                   interpret: bool = False):
     """4×4 stride-2 VALID conv (the strided s2d entry conv): unpacked
     input [N, H, W, C] (W even), packed flat output
     [N, (H-2)//2, (W-2)//2, O4]. Requires 2C and O4 to be 128-multiples
@@ -482,7 +650,7 @@ def conv4x4s2_flat(x, w4, b, *, relu: bool = True, r_block: int = 8,
     h_out, w_out = (h - 2) // 2, (w_in - 2) // 2
     r_block = max(1, min(r_block, h_out))
     grid = (n, pl.cdiv(h_out, r_block))
-    wt = w4.astype(x.dtype)  # [4, 4, C, O4]
+    wt = w4 if w4.dtype == jnp.int8 else w4.astype(x.dtype)
     # pair j covers cols (2j, 2j+1) = taps (v=0, v=1); pair j+1 covers
     # taps (v=2, v=3). Column taps stack into K=2C per row-tap u; the 4
     # row-taps stack into K=8C (matching the kernel's lane-stacked
@@ -497,6 +665,25 @@ def conv4x4s2_flat(x, w4, b, *, relu: bool = True, r_block: int = 8,
     )
     parts = [wk, ws, b.astype(jnp.float32)]
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+    if quant is None:
+        qflags = (False, False, False)
+        cdt, out_dtype = x.dtype, x.dtype
+    else:
+        in_int8 = quant.get("act_scale") is None
+        out_int8 = quant.get("out_scale") is not None
+        qflags = (True, in_int8, out_int8)
+        cdt = jnp.int8
+        out_dtype = jnp.int8 if out_int8 else (
+            jnp.bfloat16 if x.dtype == jnp.int8 else x.dtype
+        )
+        parts.append(jnp.asarray(quant["chan_scale"], jnp.float32))
+        w_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        if not in_int8:
+            arr, spec = _smem_scalar(1.0 / quant["act_scale"])
+            parts.append(arr); w_specs.append(spec)
+        if out_int8:
+            arr, spec = _smem_scalar(1.0 / quant["out_scale"])
+            parts.append(arr); w_specs.append(spec)
 
     def mk(u):
         return pl.BlockSpec(
@@ -509,12 +696,12 @@ def conv4x4s2_flat(x, w4, b, *, relu: bool = True, r_block: int = 8,
 
     row_specs = [mk(u) for u in range(2 * r_block + 2)]
     kernel = functools.partial(
-        _conv4x4s2_kernel, r_block, w2_in, w_out, relu, x.dtype
+        _conv4x4s2_kernel, r_block, w2_in, w_out, relu, out_dtype, *qflags
     )
-    stride = _round8(w2_in)
+    stride = _stride_for(w2_in, qflags[0])
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, h_out, w_out, o4), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, h_out, w_out, o4), out_dtype),
         grid=grid,
         in_specs=w_specs + row_specs,
         out_specs=pl.BlockSpec(
@@ -523,25 +710,38 @@ def conv4x4s2_flat(x, w4, b, *, relu: bool = True, r_block: int = 8,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((r_block * stride, 8 * c), x.dtype),
+            pltpu.VMEM((r_block * stride, 8 * c), cdt),
         ],
         interpret=interpret,
     )(*parts, *([xp] * (2 * r_block + 2)))
 
 
 # ------------------------------------------------------- rowwise matmul
-def _matmul_rows_kernel(r_block, w_in, relu, out_dtype, *refs):
+def _matmul_rows_kernel(r_block, w_in, relu, out_dtype, quant, in_int8,
+                        out_int8, *refs):
     wm, bias = refs[0], refs[1]
-    rows = refs[2 : 2 + r_block]
-    out = refs[2 + r_block]
-    xs = refs[2 + r_block + 1]
-    stride = _round8(w_in)
+    k = 2
+    chan_scale = act_inv = out_inv = None
+    if quant:
+        chan_scale = refs[k]; k += 1
+        if not in_int8:
+            act_inv = refs[k]; k += 1
+        if out_int8:
+            out_inv = refs[k]; k += 1
+    rows = refs[k : k + r_block]
+    out = refs[k + r_block]
+    xs = refs[k + r_block + 1]
+    stride = _stride_for(w_in, quant)
+    pref = _INT8_PREF if quant else jnp.float32
     for j in range(r_block):
-        xs[j * stride : j * stride + w_in, :] = rows[j][0, 0]
-    acc = jnp.dot(xs[:], wm[:], preferred_element_type=jnp.float32)
+        xs[j * stride : j * stride + w_in, :] = (
+            _quant_rows(rows[j][0, 0], act_inv) if quant else rows[j][0, 0]
+        )
+    acc = jnp.dot(xs[:], wm[:], preferred_element_type=pref)
     for r in range(r_block):
         out[0, r] = _epilogue(
-            acc[r * stride : r * stride + w_in], bias, relu, out_dtype
+            acc[r * stride : r * stride + w_in], bias, relu, out_dtype,
+            chan_scale, out_inv,
         )
 
 
@@ -550,6 +750,7 @@ def _matmul_rows_kernel(r_block, w_in, relu, out_dtype, *refs):
 )
 def matmul_rows_flat(x, wm, b, *, relu: bool = True,
                      r_block: Optional[int] = None,
+                     quant=None,
                      interpret: bool = False):
     """Per-pixel channel matmul [N,H,W,C] @ [C,K] -> [N,H,W,K] with fused
     bias+relu (the 2×2/2 transposed conv with unpacked input IS this —
@@ -562,15 +763,35 @@ def matmul_rows_flat(x, wm, b, *, relu: bool = True,
         r_block = _auto_r(h)
     r_block = max(1, min(r_block, h))
     grid = (n, pl.cdiv(h, r_block))
-    parts = [wm.astype(x.dtype), b.astype(jnp.float32)]
+    wmt = wm if wm.dtype == jnp.int8 else wm.astype(x.dtype)
+    parts = [wmt, b.astype(jnp.float32)]
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+    if quant is None:
+        qflags = (False, False, False)
+        cdt, out_dtype = x.dtype, x.dtype
+    else:
+        in_int8 = quant.get("act_scale") is None
+        out_int8 = quant.get("out_scale") is not None
+        qflags = (True, in_int8, out_int8)
+        cdt = jnp.int8
+        out_dtype = jnp.int8 if out_int8 else (
+            jnp.bfloat16 if x.dtype == jnp.int8 else x.dtype
+        )
+        parts.append(jnp.asarray(quant["chan_scale"], jnp.float32))
+        w_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        if not in_int8:
+            arr, spec = _smem_scalar(1.0 / quant["act_scale"])
+            parts.append(arr); w_specs.append(spec)
+        if out_int8:
+            arr, spec = _smem_scalar(1.0 / quant["out_scale"])
+            parts.append(arr); w_specs.append(spec)
     kernel = functools.partial(
-        _matmul_rows_kernel, r_block, w_in, relu, x.dtype
+        _matmul_rows_kernel, r_block, w_in, relu, out_dtype, *qflags
     )
-    stride = _round8(w_in)
+    stride = _stride_for(w_in, qflags[0])
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, h, w_in, k), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, h, w_in, k), out_dtype),
         grid=grid,
         in_specs=w_specs + _row_specs(r_block, r_block, h, w_in, c),
         out_specs=pl.BlockSpec(
@@ -578,38 +799,54 @@ def matmul_rows_flat(x, wm, b, *, relu: bool = True,
             lambda n_, i: (n_, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((r_block * stride, c), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((r_block * stride, c), cdt)],
         interpret=interpret,
     )(*parts, *([x] * r_block))
 
 
 # ---------------------------------------------------- deconv (packed in)
-def _deconv_packed_kernel(r_half, w_in, relu, out_dtype, *refs):
+def _deconv_packed_kernel(r_half, w_in, relu, out_dtype, quant, in_int8,
+                          out_int8, *refs):
     # wsel[a][b]: [4C, 4O] = wm rows placed at slot block (2a+b)
     il_e, il_o = refs[:2]        # [2J, J] interleave selectors
     wsel = refs[2:6]
     bias = refs[6]
-    rows = refs[7 : 7 + r_half]
-    out = refs[7 + r_half]
-    xs = refs[7 + r_half + 1]
-    stride = _round8(w_in)
+    k = 7
+    chan_scale = act_inv = out_inv = None
+    if quant:
+        chan_scale = refs[k]; k += 1
+        if not in_int8:
+            act_inv = refs[k]; k += 1
+        if out_int8:
+            out_inv = refs[k]; k += 1
+    rows = refs[k : k + r_half]
+    out = refs[k + r_half]
+    xs = refs[k + r_half + 1]
+    stride = _stride_for(w_in, quant)
+    pref = _INT8_PREF if quant else jnp.float32
+    il_dt = jnp.bfloat16 if quant else out_dtype
     for j in range(r_half):
-        xs[j * stride : j * stride + w_in, :] = rows[j][0, 0]
+        xs[j * stride : j * stride + w_in, :] = (
+            _quant_rows(rows[j][0, 0], act_inv) if quant else rows[j][0, 0]
+        )
     prods = [
-        jnp.dot(xs[:], wsel[si][:], preferred_element_type=jnp.float32)
+        jnp.dot(xs[:], wsel[si][:], preferred_element_type=pref)
         for si in range(4)
     ]
     for r in range(2 * r_half):
         a, i_loc = r % 2, r // 2
         p0 = prods[2 * a][i_loc * stride : i_loc * stride + w_in]
         p1 = prods[2 * a + 1][i_loc * stride : i_loc * stride + w_in]
+        if quant:  # dequant before the (bf16) interleave matmuls
+            p0 = p0.astype(jnp.float32) * chan_scale[:]
+            p1 = p1.astype(jnp.float32) * chan_scale[:]
         # column interleave out[2j+b] = p_b[j] as two selection matmuls
         # (stack+reshape lowers to sublane relayout copies in Mosaic)
-        y = jnp.dot(il_e[:], p0.astype(out_dtype),
+        y = jnp.dot(il_e[:], p0.astype(il_dt),
                     preferred_element_type=jnp.float32)
-        y += jnp.dot(il_o[:], p1.astype(out_dtype),
+        y += jnp.dot(il_o[:], p1.astype(il_dt),
                      preferred_element_type=jnp.float32)
-        out[0, r] = _epilogue(y, bias, relu, out_dtype)
+        out[0, r] = _epilogue(y, bias, relu, out_dtype, None, out_inv)
 
 
 @functools.partial(
@@ -617,6 +854,7 @@ def _deconv_packed_kernel(r_half, w_in, relu, out_dtype, *refs):
 )
 def deconv_packed_flat(x4, wm, b, *, relu: bool = True,
                        r_block: Optional[int] = None,
+                       quant=None,
                        interpret: bool = False):
     """2×2/2 transposed conv, FLAT packed input → FLAT packed output:
     [N, I, J, 4C] @ wm [C, 4O] -> [N, 2I, 2J, 4O]. Input slot (a,b) of
@@ -634,8 +872,29 @@ def deconv_packed_flat(x4, wm, b, *, relu: bool = True,
     r_block = max(2, min(r_block + r_block % 2, 2 * i_in))  # even
     r_half = r_block // 2
     grid = (n, pl.cdiv(2 * i_in, r_block))
-    wmt = wm.astype(x4.dtype)
-    zeros = jnp.zeros((c4, o4), x4.dtype)
+    if quant is None:
+        qflags = (False, False, False)
+        cdt, out_dtype, il_dt = x4.dtype, x4.dtype, x4.dtype
+        extra_parts, extra_specs = [], []
+    else:
+        in_int8 = quant.get("act_scale") is None
+        out_int8 = quant.get("out_scale") is not None
+        qflags = (True, in_int8, out_int8)
+        cdt = jnp.int8
+        out_dtype = jnp.int8 if out_int8 else (
+            jnp.bfloat16 if x4.dtype == jnp.int8 else x4.dtype
+        )
+        il_dt = jnp.bfloat16
+        extra_parts = [jnp.asarray(quant["chan_scale"], jnp.float32)]
+        extra_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        if not in_int8:
+            arr, spec = _smem_scalar(1.0 / quant["act_scale"])
+            extra_parts.append(arr); extra_specs.append(spec)
+        if out_int8:
+            arr, spec = _smem_scalar(1.0 / quant["out_scale"])
+            extra_parts.append(arr); extra_specs.append(spec)
+    wmt = wm if wm.dtype == jnp.int8 else wm.astype(x4.dtype)
+    zeros = jnp.zeros((c4, o4), wmt.dtype)
     wsel = []
     for s in range(4):
         ws = zeros.at[s * c : (s + 1) * c].set(wmt)
@@ -644,9 +903,9 @@ def deconv_packed_flat(x4, wm, b, *, relu: bool = True,
     il_e[2 * np.arange(j_in), np.arange(j_in)] = 1.0
     il_o = np.zeros((2 * j_in, j_in), np.float32)
     il_o[2 * np.arange(j_in) + 1, np.arange(j_in)] = 1.0
-    parts = [jnp.asarray(il_e, x4.dtype), jnp.asarray(il_o, x4.dtype)]
-    parts += wsel + [b.astype(jnp.float32)]
-    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
+    parts = [jnp.asarray(il_e, il_dt), jnp.asarray(il_o, il_dt)]
+    parts += wsel + [b.astype(jnp.float32)] + extra_parts
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7 + extra_specs
 
     def mk(u):
         return pl.BlockSpec(
@@ -658,13 +917,13 @@ def deconv_packed_flat(x4, wm, b, *, relu: bool = True,
         )
 
     kernel = functools.partial(
-        _deconv_packed_kernel, r_half, j_in, relu, x4.dtype
+        _deconv_packed_kernel, r_half, j_in, relu, out_dtype, *qflags
     )
-    stride = _round8(j_in)
+    stride = _stride_for(j_in, qflags[0])
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, 2 * i_in, 2 * j_in, o4),
-                                       x4.dtype),
+                                       out_dtype),
         grid=grid,
         in_specs=w_specs + [mk(u) for u in range(r_half)],
         out_specs=pl.BlockSpec(
@@ -672,6 +931,6 @@ def deconv_packed_flat(x4, wm, b, *, relu: bool = True,
             lambda n_, i: (n_, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((r_half * stride, c4), x4.dtype)],
+        scratch_shapes=[pltpu.VMEM((r_half * stride, c4), cdt)],
         interpret=interpret,
     )(*parts, *([x4] * r_half))

@@ -188,3 +188,143 @@ def test_conv2x2_dual_slot_phase_crop(np_rng):
     want = _oracle_conv(x, w, b, (1, 1), True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+# ----------------------------------------------------------- int8 kernels
+def _q8w(np_rng, shape):
+    w = np_rng.normal(size=shape).astype(np.float32) * 0.05
+    s = np.abs(w).max(axis=tuple(range(w.ndim - 1))) / 127.0
+    s = np.maximum(s, 1e-8)
+    wq = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+    return jnp.asarray(wq), jnp.asarray(s.astype(np.float32))
+
+
+def test_conv2x2_int8_parity(np_rng):
+    """Pallas int8 conv2x2 == the XLA int8 reference (unet_int8)."""
+    from segmentation_tpu.models.unet_int8 import int8_packed_conv
+    from segmentation_tpu.models.unet_fast import tile_bias4
+
+    c, o = 128, 128
+    x = jnp.asarray(np_rng.normal(size=(2, 9, 13, c)), jnp.float32)
+    wq, ws = _q8w(np_rng, (2, 2, c, o))
+    b = jnp.asarray(np_rng.normal(size=(o // 4,)), jnp.float32)
+    act_scale = float(jnp.max(jnp.abs(x))) / 127.0
+    got = conv2x2_flat(
+        x, wq, tile_bias4(b), r_block=4,
+        quant={"chan_scale": ws * act_scale, "act_scale": act_scale},
+        interpret=True,
+    )
+    want = int8_packed_conv(x, wq, ws, jnp.float32(act_scale), b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_conv2x2_int8_resident_roundtrip(np_rng):
+    """int8-in/int8-out: feeding the requantized output of one kernel to
+    the next (act_scale=None input path) matches the dequant-requant
+    composition."""
+    from segmentation_tpu.models.unet_fast import tile_bias4
+
+    c = o = 128
+    x = jnp.asarray(np_rng.normal(size=(2, 9, 11, c)), jnp.float32)
+    wq, ws = _q8w(np_rng, (2, 2, c, o))
+    b = jnp.asarray(np_rng.normal(size=(o // 4,)), jnp.float32)
+    a_s = float(jnp.max(jnp.abs(x))) / 127.0
+    out_s = 0.05
+    # bf16-in -> int8-out
+    y8 = conv2x2_flat(
+        x, wq, tile_bias4(b), r_block=4,
+        quant={"chan_scale": ws * a_s, "act_scale": a_s,
+               "out_scale": out_s},
+        interpret=True,
+    )
+    assert y8.dtype == jnp.int8
+    # reference: float result, then requantize
+    yf = conv2x2_flat(
+        x, wq, tile_bias4(b), r_block=4,
+        quant={"chan_scale": ws * a_s, "act_scale": a_s},
+        interpret=True,
+    )
+    want = np.clip(np.round(np.asarray(yf) / out_s), -127, 127)
+    np.testing.assert_allclose(np.asarray(y8), want, atol=1.0)
+
+    # int8-resident input: consume y8 directly (act_scale None);
+    # chan_scale folds the incoming tensor scale
+    wq2, ws2 = _q8w(np_rng, (2, 2, c, o))
+    z = conv2x2_flat(
+        y8, wq2, tile_bias4(b), r_block=4,
+        quant={"chan_scale": ws2 * out_s},
+        interpret=True,
+    )
+    zf = conv2x2_flat(
+        jnp.asarray(y8, jnp.float32) * out_s, wq2, tile_bias4(b),
+        r_block=4,
+        quant={"chan_scale": ws2 * out_s, "act_scale": out_s},
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(z), np.asarray(zf),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_conv2x2_pool_int8(np_rng):
+    from segmentation_tpu.models.unet_fast import (
+        packed_pool_flat, tile_bias4,
+    )
+    from segmentation_tpu.nn.pallas.conv import conv2x2_pool_flat
+
+    c, o = 128, 128
+    x = jnp.asarray(np_rng.normal(size=(2, 13, 21, c)), jnp.float32)
+    wq, ws = _q8w(np_rng, (2, 2, c, o))
+    b = jnp.asarray(np_rng.normal(size=(o // 4,)), jnp.float32)
+    a_s = float(jnp.max(jnp.abs(x))) / 127.0
+    q = {"chan_scale": ws * a_s, "act_scale": a_s, "out_scale": 0.04}
+    y, pooled = conv2x2_pool_flat(x, wq, tile_bias4(b), r_block=4,
+                                  quant=q, interpret=True)
+    assert y.dtype == jnp.int8 and pooled.dtype == jnp.int8
+    want_p = packed_pool_flat(np.asarray(y, np.int32), o // 4)
+    np.testing.assert_allclose(np.asarray(pooled, np.int32), want_p,
+                               atol=0)
+
+
+def test_conv4x4s2_int8_parity(np_rng):
+    from segmentation_tpu.models.unet_int8 import int8_strided_conv
+    from segmentation_tpu.models.unet_fast import tile_bias4
+
+    c, o4 = 32, 256
+    x = jnp.asarray(np_rng.normal(size=(2, 18, 26, c)), jnp.float32)
+    wq, ws = _q8w(np_rng, (4, 4, c, o4))
+    b = jnp.asarray(np_rng.normal(size=(o4 // 4,)), jnp.float32)
+    a_s = float(jnp.max(jnp.abs(x))) / 127.0
+    got = conv4x4s2_flat(
+        x, wq, tile_bias4(b), r_block=3,
+        quant={"chan_scale": ws * a_s, "act_scale": a_s},
+        interpret=True,
+    )
+    want = int8_strided_conv(x, wq, ws, jnp.float32(a_s), b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_dual_int8_parity(np_rng):
+    from segmentation_tpu.models.unet_int8 import int8_packed_conv_dual
+    from segmentation_tpu.models.unet_fast import tile_bias4
+
+    c = o = 128
+    xa = jnp.asarray(np_rng.normal(size=(2, 9, 11, c)), jnp.float32)
+    xb = jnp.asarray(np_rng.normal(size=(2, 9, 11, c)), jnp.float32)
+    wqa, wsa = _q8w(np_rng, (2, 2, c, o))
+    wqb, wsb = _q8w(np_rng, (2, 2, c, o))
+    b = jnp.asarray(np_rng.normal(size=(o // 4,)), jnp.float32)
+    asa = float(jnp.max(jnp.abs(xa))) / 127.0
+    asb = float(jnp.max(jnp.abs(xb))) / 127.0
+    got = conv2x2_dual_flat(
+        xa, xb, wqa, wqb, tile_bias4(b), r_block=4,
+        quant={"chan_scale_a": wsa * asa, "chan_scale_b": wsb * asb,
+               "act_scale_a": asa, "act_scale_b": asb},
+        interpret=True,
+    )
+    want = int8_packed_conv_dual(
+        xa, xb, wqa, wsa, jnp.float32(asa), wqb, wsb, jnp.float32(asb), b
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-3)
