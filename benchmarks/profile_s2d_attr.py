@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 
-def main(batch=128, steps=3):
+def main(batch=128, steps=3, mode="bf16"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -49,13 +49,21 @@ def main(batch=128, steps=3):
             if jnp.issubdtype(p.dtype, jnp.floating) else p, t,
         )
 
-    fast = UNetS2DInference(mcfg)
-    prepared = bf16(fast.prepare(bf16(params)))
+    if mode == "int8":
+        from segmentation_tpu.models.unet_int8 import UNetS2DInt8
+
+        fast = UNetS2DInt8(mcfg)
+        calib = jax.jit(
+            lambda k: jax.random.uniform(k, (4, 512, 512, 3), jnp.bfloat16)
+        )(jax.random.PRNGKey(7))
+        prepared = bf16(fast.prepare(bf16(params), calib_batches=[calib]))
+    else:
+        fast = UNetS2DInference(mcfg)
+        prepared = bf16(fast.prepare(bf16(params)))
 
     @jax.jit
     def infer(x):
-        logits = fast.apply(prepared, x)
-        return jnp.sum(jnp.argmax(logits, axis=-1).astype(jnp.int32))
+        return fast.apply_argmax(prepared, x).sum()
 
     x = jax.jit(
         lambda k: jax.random.uniform(k, (batch, 512, 512, 3), jnp.bfloat16)
@@ -165,4 +173,8 @@ def main(batch=128, steps=3):
 
 
 if __name__ == "__main__":
-    main(*[int(a) for a in sys.argv[1:]])
+    args = sys.argv[1:]
+    mode = "bf16"
+    if args and args[-1] in ("bf16", "int8"):
+        mode = args.pop()
+    main(*[int(a) for a in args], mode=mode)

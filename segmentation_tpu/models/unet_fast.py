@@ -433,6 +433,50 @@ def packed_pool_flat(x4, c, slices=True):
     return jnp.maximum(jnp.maximum(s0, s1), jnp.maximum(s2, s3))
 
 
+def _pool4_max_flat(x4):
+    c = x4.shape[-1] // 4
+    s0 = x4[..., 0 * c : 1 * c]
+    s1 = x4[..., 1 * c : 2 * c]
+    s2 = x4[..., 2 * c : 3 * c]
+    s3 = x4[..., 3 * c : 4 * c]
+    return jnp.maximum(jnp.maximum(s0, s1), jnp.maximum(s2, s3))
+
+
+@jax.custom_vjp
+def pool4_select(x4):
+    """2×2/2 max-pool of a FLAT packed tensor with a SELECT-based custom
+    VJP. The default reduce-formulated pool's backward materializes 5-D
+    mask buffers and a ~23 ms scatter chain at 512²/B=128 (round-2
+    profile); this version stays flat 4-D end-to-end: the backward
+    recomputes the max (cheap), routes the cotangent to the FIRST slot
+    attaining it (a valid subgradient; deterministic tie-break), and
+    emits the [.., 4C] cotangent as one concat of four selects. Only x4
+    is saved — no pooled residual, which is what frees the B=192
+    activation budget."""
+    return _pool4_max_flat(x4)
+
+
+def _pool4_fwd(x4):
+    return _pool4_max_flat(x4), x4
+
+
+def _pool4_bwd(x4, g):
+    c = x4.shape[-1] // 4
+    y = _pool4_max_flat(x4)
+    taken = None
+    parts = []
+    for si in range(4):
+        sl = x4[..., si * c : (si + 1) * c]
+        hit = sl >= y
+        m = hit if taken is None else (hit & ~taken)
+        taken = hit if taken is None else (taken | hit)
+        parts.append(jnp.where(m, g, jnp.zeros_like(g)))
+    return (jnp.concatenate(parts, axis=-1),)
+
+
+pool4_select.defvjp(_pool4_fwd, _pool4_bwd)
+
+
 def deconv2_as_matmul_flat(x, wm, b, o, relu=True, pallas=True):
     """2×2/2 transposed conv, unpacked input → FLAT packed output."""
     if (
@@ -520,8 +564,10 @@ class UNetS2DInference:
     # cfg.bayesian; None = deterministic serving).
     dropout_fn: "object" = None
     # Pool formulation: lane-sliced (inference winner) vs 5-D reduce
-    # (training winner) — see packed_pool_flat.
+    # (training winner) — see packed_pool_flat. pool_select_vjp switches
+    # the trainable path to the flat select-based custom-VJP pool.
     pool_slices: bool = True
+    pool_select_vjp: bool = False
     # Pallas conv kernels for the packed sites (inference-only: no VJP).
     # UNetS2D (the trainable wrapper) sets this False.
     allow_pallas: bool = True
@@ -560,6 +606,15 @@ class UNetS2DInference:
             and up4.shape[1] > 2
         )
 
+    def _pairs_ok(self) -> bool:
+        """Paired pool handoff is only legal when the packed-level hooks
+        are ones that understand it (the base set, or a subclass that
+        opts in by overriding this)."""
+        return (
+            type(self)._packed_conv is UNetS2DInference._packed_conv
+            and type(self)._strided_conv is UNetS2DInference._strided_conv
+        )
+
     def _packed_conv_pool(self, p, name, x4, width, relu=True,
                           pallas=True, pool_pairs=False):
         """Second encoder conv of a packed level + the 2×2/2 pool, fused
@@ -589,7 +644,10 @@ class UNetS2DInference:
             )
         else:
             h4 = self._packed_conv(p, name, x4, relu)
-        pooled = packed_pool_flat(h4, width, self.pool_slices)
+        if self.pool_select_vjp:
+            pooled = pool4_select(h4)
+        else:
+            pooled = packed_pool_flat(h4, width, self.pool_slices)
         if pool_pairs:
             n, hp, wp, cc = pooled.shape
             pooled = _reshape(pooled, (n, hp, wp // 2, 2 * cc))
@@ -687,10 +745,7 @@ class UNetS2DInference:
                 lvl + 1 < pl_
                 and self.allow_pallas
                 and _pallas_backend_ok()
-                and type(self)._packed_conv
-                is UNetS2DInference._packed_conv
-                and type(self)._strided_conv
-                is UNetS2DInference._strided_conv
+                and self._pairs_ok()
                 and (h4.shape[2] - 1) % 2 == 0
             )
             h4, h = self._packed_conv_pool(
@@ -865,7 +920,8 @@ class UNetS2D:
         # ~11% faster steps at 512²/B=128; see packed_pool_flat) and the
         # XLA convs (Pallas kernels are forward-only).
         fast = UNetS2DInference(
-            self.cfg, self.levels, pool_slices=False, allow_pallas=False
+            self.cfg, self.levels, pool_slices=False, allow_pallas=False,
+            pool_select_vjp=True,
         )
         if self.cfg.bayesian:
             # Same MC-dropout sites (and liveness contract) as models.unet:

@@ -34,9 +34,12 @@ from jax import lax
 
 from segmentation_tpu.models.unet_fast import (
     UNetS2DInference,
+    _pallas_backend_ok,
     packed_conv3_dual_flat,
     packed_conv3_flat,
+    packed_pool_flat,
     strided_packed_conv3_flat,
+    tile_bias4,
 )
 
 _DN = ("NHWC", "HWIO", "NHWC")
@@ -57,8 +60,10 @@ def _quant_act(x: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
 
 
 def int8_conv(x, wq, w_scale, act_scale, b, relu=True, strides=(1, 1)):
-    """Standard-layout int8 VALID conv with float rescale epilogue."""
-    xq = _quant_act(x, act_scale)
+    """Standard-layout int8 VALID conv with float rescale epilogue.
+    ``x`` may already be int8 (resident activations quantized by the
+    producer at ``act_scale``) — then the quantize step is skipped."""
+    xq = x if x.dtype == jnp.int8 else _quant_act(x, act_scale)
     yi = lax.conv_general_dilated(
         xq, wq, strides, "VALID", dimension_numbers=_DN,
         preferred_element_type=jnp.int32,
@@ -67,7 +72,8 @@ def int8_conv(x, wq, w_scale, act_scale, b, relu=True, strides=(1, 1)):
     y = y + b.astype(jnp.float32)
     if relu:
         y = jax.nn.relu(y)
-    return y.astype(x.dtype)
+    out_dt = jnp.bfloat16 if x.dtype == jnp.int8 else x.dtype
+    return y.astype(out_dt)
 
 
 def _tile4(b):
@@ -191,6 +197,57 @@ class UNetS2DInt8(UNetS2DInference):
                 )
         return prepared
 
+    # ---- resident int8 Pallas flow -----------------------------------------
+    # On single-chip TPU with calibrated scales, the packed region runs the
+    # int8 Pallas kernels with INT8-RESIDENT activations: each kernel's
+    # epilogue requantizes its output at its consumer's calibrated scale,
+    # so the region's HBM traffic halves and the MXU runs at the 2x int8
+    # rate (measured 1.3-1.5x per kernel vs bf16 at these shapes — the
+    # big convs sit at the bandwidth roofline). bf16 islands remain at the
+    # region entry (XLA c1_1; its output quantizes in-XLA) and the
+    # deconvs (tiny FLOP share; the dual kernels inline-quantize that
+    # side).
+
+    def _out_scale_of(self, p, name):
+        """The int8 scale a site's OUTPUT tensor is stored at = its
+        consumer's calibrated input scale; None -> emit bf16."""
+        L, pl_ = self.levels, self.packed_levels
+        succ = {}
+        for lvl in range(pl_):
+            nxt = (
+                f"conv{lvl + 2}_1" if lvl + 1 < pl_
+                else f"conv{pl_ + 1}_1"
+            )
+            succ[f"conv{lvl + 1}_1"] = f"conv{lvl + 1}_2"
+            succ[f"conv{lvl + 1}_2"] = nxt
+        for i, lvl in enumerate(reversed(range(L))):
+            if lvl < pl_:
+                succ[f"conv{L + 2 + i}_1"] = f"conv{L + 2 + i}_2"
+                # _2 decoder convs feed a deconv (bf16) or the head
+        nxt = succ.get(name)
+        if nxt is None:
+            return None
+        sc = p.get(f"{nxt}/ascale")
+        return None if sc is None else float(sc)
+
+    def _in_scale_of(self, p, name, side=None):
+        key = f"{name}/ascale" + (f"_{side}" if side else "")
+        sc = p.get(key)
+        return None if sc is None else float(sc)
+
+    def _use_pallas_int8(self, p, name):
+        return (
+            self.allow_pallas
+            and _pallas_backend_ok()
+            and self._calibrating is None
+            and (f"{name}/ascale" in p or f"{name}/ascale_a" in p)
+        )
+
+    def _pairs_ok(self):
+        # the int8 hooks understand the paired pool handoff (resident
+        # path) and the float fallbacks un-pair explicitly
+        return True
+
     # ---- hook overrides ----------------------------------------------------
     _calibrating = None
 
@@ -201,9 +258,35 @@ class UNetS2DInt8(UNetS2DInference):
         )
 
     def _strided_conv(self, p, name, h, relu=True, paired=False):
-        if paired:  # int8 kernels take unpacked columns; un-pair first
+        in_s = self._in_scale_of(p, name)
+        c_true = (h.shape[-1] // 2) if paired else h.shape[-1]
+        if (
+            self._use_pallas_int8(p, name)
+            and f"{name}/wq4" in p
+            and in_s is not None
+            and p[f"{name}/wq4"].shape[-1] % 128 == 0
+            and h.shape[1] > 5
+            and c_true >= 16
+            and (2 * c_true) % 64 == 0
+            and (paired or h.shape[2] % 2 == 0)
+        ):
+            from segmentation_tpu.nn.pallas.conv import conv4x4s2_flat
+
+            q = {"chan_scale": p[f"{name}/wscale4"] * in_s}
+            if h.dtype != jnp.int8:  # region entry arrives bf16
+                q["act_scale"] = in_s
+            out_s = self._out_scale_of(p, name)
+            if out_s is not None:
+                q["out_scale"] = out_s
+            return conv4x4s2_flat(
+                h, p[f"{name}/wq4"], _tile4(p[f"{name}/b"]), relu=relu,
+                paired=paired, quant=q,
+            )
+        if paired:  # XLA kernels take unpacked columns; un-pair first
             n, hh, w2, c2 = h.shape
             h = h.reshape(n, hh, 2 * w2, c2 // 2)
+        if h.dtype == jnp.int8:  # resident tensor hitting an XLA path
+            h = h.astype(jnp.bfloat16) * self._in_scale_of(p, name)
         if self._calibrating is not None:
             self._record(name, h)
         elif f"{name}/wq4" in p and f"{name}/ascale" in p:
@@ -216,6 +299,29 @@ class UNetS2DInt8(UNetS2DInference):
         )
 
     def _packed_conv(self, p, name, x4, relu=True):
+        in_s = self._in_scale_of(p, name)
+        if (
+            self._use_pallas_int8(p, name)
+            and f"{name}/wq" in p
+            and in_s is not None
+            and x4.shape[-1] % 128 == 0
+            and p[f"{name}/wq"].shape[-1] % 128 == 0
+            and x4.shape[1] > 2
+        ):
+            from segmentation_tpu.nn.pallas.conv import conv2x2_flat
+
+            q = {"chan_scale": p[f"{name}/wscale"] * in_s}
+            if x4.dtype != jnp.int8:
+                q["act_scale"] = in_s
+            out_s = self._out_scale_of(p, name)
+            if out_s is not None:
+                q["out_scale"] = out_s
+            return conv2x2_flat(
+                x4, p[f"{name}/wq"], _tile4(p[f"{name}/b"]), relu=relu,
+                quant=q,
+            )
+        if x4.dtype == jnp.int8:
+            x4 = x4.astype(jnp.bfloat16) * in_s
         if self._calibrating is not None:
             self._record(name, x4)
         elif f"{name}/wq" in p and f"{name}/ascale" in p:
@@ -225,7 +331,88 @@ class UNetS2DInt8(UNetS2DInference):
             )
         return packed_conv3_flat(x4, p[f"{name}/w2"], p[f"{name}/b"], relu)
 
+    def _packed_conv_pool(self, p, name, x4, width, relu=True,
+                          pallas=True, pool_pairs=False):
+        in_s = self._in_scale_of(p, name)
+        if (
+            pallas
+            and self._use_pallas_int8(p, name)
+            and f"{name}/wq" in p
+            and in_s is not None
+            and x4.shape[-1] % 128 == 0
+            and p[f"{name}/wq"].shape[-1] % 128 == 0
+            and x4.shape[1] > 2
+            and not (pool_pairs and (x4.shape[2] - 1) % 2)
+        ):
+            from segmentation_tpu.nn.pallas.conv import conv2x2_pool_flat
+
+            if x4.dtype != jnp.int8:
+                # region entry (XLA c1_1 output): quantize in XLA — the
+                # round/clip fuses into the producer, and the int8 tensor
+                # halves the XLA->Pallas boundary copy
+                x4 = _quant_act(x4, jnp.float32(in_s))
+            q = {"chan_scale": p[f"{name}/wscale"] * in_s}
+            out_s = self._out_scale_of(p, name)
+            if out_s is not None:
+                q["out_scale"] = out_s
+            return conv2x2_pool_flat(
+                x4, p[f"{name}/wq"], _tile4(p[f"{name}/b"]), relu=relu,
+                pool_pairs=pool_pairs, quant=q,
+            )
+        h4 = self._packed_conv(p, name, x4, relu)
+        if h4.dtype == jnp.int8:  # pool on the resident tensor
+            pooled = packed_pool_flat(h4, width, True)
+        else:
+            pooled = packed_pool_flat(h4, width, self.pool_slices)
+        if pool_pairs:
+            n, hp, wp, cc = pooled.shape
+            pooled = pooled.reshape(n, hp, wp // 2, 2 * cc)
+        return h4, pooled
+
+    def _skip_scale_of(self, p, name):
+        """Scale of the int8-resident SKIP tensor feeding decoder conv
+        ``name`` (= the encoder conv's out scale, NOT the crop-local
+        ascale_a)."""
+        L = self.levels
+        i = int(name[4:].split("_")[0]) - (L + 2)
+        lvl = L - 1 - i
+        return self._out_scale_of(p, f"conv{lvl + 1}_2")
+
     def _packed_conv_dual(self, p, name, skip4, up4, relu=True):
+        if (
+            self._use_pallas_int8(p, name)
+            and f"{name}/wq_a" in p
+            and f"{name}/ascale_b" in p
+            and up4.shape[-1] % 128 == 0
+            and up4.shape[1] > 2
+            and skip4.shape == up4.shape
+        ):
+            from segmentation_tpu.nn.pallas.conv import conv2x2_dual_flat
+
+            skip_s = (
+                self._skip_scale_of(p, name)
+                if skip4.dtype == jnp.int8
+                else self._in_scale_of(p, name, "a")
+            )
+            asb = self._in_scale_of(p, name, "b")
+            q = {
+                "chan_scale_a": p[f"{name}/wscale_a"] * skip_s,
+                "chan_scale_b": p[f"{name}/wscale_b"] * asb,
+                "act_scale_b": asb,  # the (bf16) deconv side
+            }
+            if skip4.dtype != jnp.int8:
+                q["act_scale_a"] = skip_s
+            out_s = self._out_scale_of(p, name)
+            if out_s is not None:
+                q["out_scale"] = out_s
+            return conv2x2_dual_flat(
+                skip4, up4, p[f"{name}/wq_a"], p[f"{name}/wq_b"],
+                _tile4(p[f"{name}/b"]), quant=q, relu=relu,
+            )
+        if skip4.dtype == jnp.int8:
+            skip4 = skip4.astype(jnp.bfloat16) * self._skip_scale_of(
+                p, name
+            )
         if self._calibrating is not None:
             self._record(name, skip4)
             self._record(f"{name}@b", up4)

@@ -396,9 +396,12 @@ def _conv2x2_dual_kernel(r_block, w_in, w_out, relu, out_dtype,
     k = 9
     sc_a = sc_b = ai_a = ai_b = out_inv = None
     if quant:
+        a_inline, b_inline = in_int8  # (inline_a, inline_b) flags
         sc_a = refs[k]; sc_b = refs[k + 1]; k += 2
-        if not in_int8:
-            ai_a = refs[k]; ai_b = refs[k + 1]; k += 2
+        if a_inline:
+            ai_a = refs[k]; k += 1
+        if b_inline:
+            ai_b = refs[k]; k += 1
         if out_int8:
             out_inv = refs[k]; k += 1
     rows_a = refs[k : k + n_a]
@@ -512,9 +515,13 @@ def conv2x2_dual_flat(xa, xb, wa, wb, b, *, relu: bool = True,
         extra_parts, extra_specs = [], []
     else:
         wta, wtb = wa, wb  # already int8
-        in_int8 = quant.get("act_scale_a") is None
+        # each side independently int8-resident (no act_scale_X) or bf16
+        # (inline-quantized with act_scale_X) — the skip arrives int8
+        # while the (bf16) deconv output quantizes in-kernel
+        a_inline = quant.get("act_scale_a") is not None
+        b_inline = quant.get("act_scale_b") is not None
         out_int8 = quant.get("out_scale") is not None
-        qflags = (True, in_int8, out_int8)
+        qflags = (True, (a_inline, b_inline), out_int8)
         cdt = jnp.int8
         out_dtype = jnp.int8 if out_int8 else (
             jnp.bfloat16 if xb.dtype == jnp.int8 else xb.dtype
@@ -524,8 +531,9 @@ def conv2x2_dual_flat(xa, xb, wa, wb, b, *, relu: bool = True,
             jnp.asarray(quant["chan_scale_b"], jnp.float32),
         ]
         extra_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
-        if not in_int8:
-            for key in ("act_scale_a", "act_scale_b"):
+        for key, on in (("act_scale_a", a_inline),
+                        ("act_scale_b", b_inline)):
+            if on:
                 arr, spec = _smem_scalar(1.0 / quant[key])
                 extra_parts.append(arr); extra_specs.append(spec)
         if out_int8:

@@ -317,3 +317,33 @@ def test_flat_helpers_match_5d_oracles():
         np.testing.assert_array_equal(
             np.asarray(view5(got, c)), np.asarray(ref)
         )
+
+
+def test_pool4_select_matches_reduce(np_rng):
+    """Forward parity + a valid-subgradient backward for the select-VJP
+    pool (unique-max case must match the reduce pool's grad exactly)."""
+    import jax
+    import jax.numpy as jnp
+
+    from segmentation_tpu.models.unet_fast import (
+        packed_pool_flat, pool4_select,
+    )
+
+    x = jnp.asarray(np_rng.normal(size=(2, 6, 6, 128)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(pool4_select(x)),
+        np.asarray(packed_pool_flat(x, 32, False)),
+        rtol=1e-6,
+    )
+
+    def f_sel(v):
+        return (pool4_select(v) ** 2).sum()
+
+    def f_ref(v):
+        return (packed_pool_flat(v, 32, False) ** 2).sum()
+
+    g_sel = jax.grad(f_sel)(x)
+    g_ref = jax.grad(f_ref)(x)
+    # continuous random input -> no ties -> grads identical
+    np.testing.assert_allclose(np.asarray(g_sel), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-6)
