@@ -336,19 +336,33 @@ def flat4(x5):
     return _reshape(x5, (n, hp, wp, s * c))
 
 
-def packed_conv3_flat(x4, w2, b, relu=True, pallas=True):
+def head_mask_xla(y4, wd, bd):
+    """XLA fallback for the fused binary head: uint8 mask
+    [N,h,w,S] = (y4 @ wd + bd > 0). wd: [4C, S] block-diagonal per-slot
+    difference head (see _head_diff)."""
+    hd = jnp.einsum("nhwc,cs->nhws", y4.astype(jnp.float32),
+                    wd.astype(jnp.float32))
+    return (hd + bd.astype(jnp.float32) > 0).astype(jnp.uint8)
+
+
+def packed_conv3_flat(x4, w2, b, relu=True, pallas=True, head=None):
     """Flat packed-space 3×3 VALID conv: [N,hp,wp,4C] → [N,hp-1,wp-1,4O].
     Takes the Pallas kernel on single-chip TPU (fused bias+relu, pinned
     layout); XLA conv elsewhere. ``pallas=False`` forces the XLA path
-    (training: the Pallas kernels are forward-only, no VJP yet)."""
+    (training: the Pallas kernels are forward-only, no VJP yet).
+    ``head=(wd, bd)``: also return the fused binary-segmentation mask
+    (uint8, see nn.pallas.conv.conv2x2_flat)."""
     if pallas and _pallas_conv_ok(x4.shape[-1], w2.shape[-1]) \
             and x4.shape[1] > 2:
         from segmentation_tpu.nn.pallas.conv import conv2x2_flat
 
-        return conv2x2_flat(x4, w2, tile_bias4(b), relu=relu)
+        return conv2x2_flat(x4, w2, tile_bias4(b), relu=relu, head=head)
     y = _conv_batch_sharded(x4, w2.astype(x4.dtype), (1, 1))
     y = y + tile_bias4(b).astype(y.dtype)
-    return jax.nn.relu(y) if relu else y
+    y = jax.nn.relu(y) if relu else y
+    if head is not None:
+        return y, head_mask_xla(y, *head)
+    return y
 
 
 def packed_conv3_dual_flat(a4, u4, w2a, w2b, b, relu=True, pallas=True):
@@ -584,25 +598,36 @@ class UNetS2DInference:
             paired,
         )
 
-    def _packed_conv(self, p, name, x4, relu=True):
+    def _packed_conv(self, p, name, x4, relu=True, head=None):
         return packed_conv3_flat(
-            x4, p[f"{name}/w2"], p[f"{name}/b"], relu, self.allow_pallas
+            x4, p[f"{name}/w2"], p[f"{name}/b"], relu, self.allow_pallas,
+            head=head,
         )
 
-    def _packed_conv_dual(self, p, name, skip4, up4, relu=True):
+    def _packed_conv_dual(self, p, name, skip4, up4, relu=True,
+                          a_offset=(0, 0), a_slot_phase=None):
+        if a_offset != (0, 0) or a_slot_phase is not None:
+            # crop-fold path: only reached when _dual_can_fold_crop said
+            # the Pallas kernel will engage — the skip center-crop rides
+            # the kernel's index maps instead of materializing a slice
+            from segmentation_tpu.nn.pallas.conv import conv2x2_dual_flat
+
+            return conv2x2_dual_flat(
+                skip4, up4, p[f"{name}/w2a"], p[f"{name}/w2b"],
+                tile_bias4(p[f"{name}/b"]), relu=relu,
+                a_offset=a_offset, a_slot_phase=a_slot_phase,
+            )
         return packed_conv3_dual_flat(
             skip4, up4, p[f"{name}/w2a"], p[f"{name}/w2b"], p[f"{name}/b"],
             relu, self.allow_pallas,
         )
 
-    def _dual_can_fold_crop(self, skip4, up4, w2a) -> bool:
-        """True when the even-offset skip center-crop can ride the dual
-        kernel's index maps instead of materializing a sliced copy."""
+    def _dual_can_fold_crop(self, p, name, skip4, up4) -> bool:
+        """True when the skip center-crop can ride the dual kernel's
+        index maps instead of materializing a sliced copy."""
         return (
             self.allow_pallas
-            and type(self)._packed_conv_dual
-            is UNetS2DInference._packed_conv_dual
-            and _pallas_conv_ok(up4.shape[-1], w2a.shape[-1])
+            and _pallas_conv_ok(up4.shape[-1], p[f"{name}/w2a"].shape[-1])
             and up4.shape[1] > 2
         )
 
@@ -714,13 +739,16 @@ class UNetS2DInference:
         return out
 
     def apply(self, prepared: Dict[str, jnp.ndarray], x: jnp.ndarray,
-              packed_out: bool = False):
+              packed_out: bool = False, head=None):
         """Forward to logits. With packed_out=True (and packed levels active)
         returns the final decoder tensor still packed, FLAT
-        [N, hp, wp, 4·C]."""
+        [N, hp, wp, 4·C]. With ``head=(wd, bd)`` (requires packed_out),
+        the LAST packed decoder conv also emits the fused binary mask and
+        apply returns (h_packed, mask_u8)."""
         k = self.cfg.n_kernels
         L, pl_ = self.levels, self.packed_levels
         p = prepared
+        head_mask = None
 
         # ---- encoder: packed levels (flat layout) ------------------------
         skips = []
@@ -789,15 +817,10 @@ class UNetS2DInference:
                 sk = skip if kind == "packed" else flat4(pack2(skip))
                 sh, sw = sk.shape[1] * 2, sk.shape[2] * 2
                 off = ((sh - th) // 2, (sw - tw) // 2)
-                if self._dual_can_fold_crop(sk, h4, p[f"{c1}/w2a"]):
-                    from segmentation_tpu.nn.pallas.conv import (
-                        conv2x2_dual_flat,
-                    )
-
+                if self._dual_can_fold_crop(p, c1, sk, h4):
                     even = off[0] % 2 == 0 and off[1] % 2 == 0
-                    h4 = conv2x2_dual_flat(
-                        sk, h4, p[f"{c1}/w2a"], p[f"{c1}/w2b"],
-                        tile_bias4(p[f"{c1}/b"]),
+                    h4 = self._packed_conv_dual(
+                        p, c1, sk, h4,
                         a_offset=(
                             (off[0] // 2, off[1] // 2) if even else (0, 0)
                         ),
@@ -806,7 +829,12 @@ class UNetS2DInference:
                 else:
                     sk = packed_center_crop_flat(sk, width, (th, tw), off)
                     h4 = self._packed_conv_dual(p, c1, sk, h4)
-                h4 = self._packed_conv(p, c2, h4)
+                if head is not None and lvl == 0:
+                    h4, head_mask = self._packed_conv(
+                        p, c2, h4, head=head
+                    )
+                else:
+                    h4 = self._packed_conv(p, c2, h4)
                 h = h4  # stays packed (flat); unpacked once at the end
                 packed = True
             else:
@@ -829,17 +857,55 @@ class UNetS2DInference:
             h = self.dropout_fn(h)
         if packed:
             if packed_out:
+                if head_mask is not None:
+                    return h, head_mask
                 return h
             h = unpack2(view5(h, k))
         logits = _conv_batch_sharded(h, p["output/w"].astype(h.dtype), (1, 1))
         return logits + p["output/b"].astype(logits.dtype)
 
+    def _head_diff(self, p):
+        """Block-diagonal per-slot difference head for n_classes=2:
+        wd [4C, 4], bd [4] with mask = (y_flat @ wd + bd > 0) — the
+        argmax of the 1×1 head, as one tiny matmul on the FLAT packed
+        decoder output (fused into the last conv kernel on TPU)."""
+        k = self.cfg.n_kernels
+        w = p["output/w"][0, 0].astype(jnp.float32)  # [C, 2]
+        bv = p["output/b"].astype(jnp.float32)
+        wdv = w[:, 1] - w[:, 0]
+        wd = jnp.zeros((4 * k, 4), jnp.float32)
+        for s in range(4):
+            wd = wd.at[s * k : (s + 1) * k, s].set(wdv)
+        bd = jnp.full((4,), bv[1] - bv[0], jnp.float32)
+        return wd, bd
+
     def apply_argmax(self, prepared: Dict[str, jnp.ndarray], x: jnp.ndarray):
         """Class-map serving path: run the 1×1 head and the argmax while the
         decoder output is still PACKED, then unpack only the uint8 mask —
         the final layout transpose moves bytes of uint8 instead of bf16
-        activations. Identical to argmax(apply(...), -1)."""
+        activations. Identical to argmax(apply(...), -1).
+
+        For n_classes=2 the head+argmax further folds into the LAST packed
+        conv as sign(y @ (w₁-w₀) + (b₁-b₀)) — the full-resolution bf16
+        activation never leaves the Pallas region (saves the relayout copy
+        + XLA einsum/argmax, ~4.8 ms at 512²/B=128)."""
         p = prepared
+        if (
+            self.packed_levels
+            and p["output/b"].shape[0] == 2
+            and self.dropout_fn is None
+        ):
+            out = self.apply(
+                prepared, x, packed_out=True, head=self._head_diff(p)
+            )
+            if isinstance(out, tuple):
+                mask_p = out[1]
+                n, hp_, wp_, _ = mask_p.shape
+                m = _reshape(
+                    mask_p, (n, hp_, wp_, 2, 2)
+                ).transpose(0, 1, 3, 2, 4)
+                return _reshape(m, (n, hp_ * 2, wp_ * 2))
+            # head not engaged (e.g. no packed decoder) — plain path
         out = self.apply(prepared, x, packed_out=True)
         if not self.packed_levels:  # no packed levels: plain path
             return jnp.argmax(out, axis=-1).astype(jnp.uint8)

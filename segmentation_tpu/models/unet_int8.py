@@ -289,7 +289,14 @@ class UNetS2DInt8(UNetS2DInference):
             h = h.astype(jnp.bfloat16) * self._in_scale_of(p, name)
         if self._calibrating is not None:
             self._record(name, h)
-        elif f"{name}/wq4" in p and f"{name}/ascale" in p:
+        elif (
+            f"{name}/wq4" in p and f"{name}/ascale" in p and c_true >= 16
+        ):
+            # Tiny-C entry (c1_1, C=3) must NOT take XLA int8 either: the
+            # s32 conv output + separate rescale/requant passes measured
+            # 14.3 ms vs ~7 ms for bf16 conv + fused quantize (the
+            # consumer quantizes at the region entry) — profile_s2d_attr
+            # int8 mode, 512²/B=128.
             return int8_strided_conv(
                 h, p[f"{name}/wq4"], p[f"{name}/wscale4"],
                 p[f"{name}/ascale"], p[f"{name}/b"], relu,
@@ -298,7 +305,7 @@ class UNetS2DInt8(UNetS2DInference):
             h, p[f"{name}/w4"], p[f"{name}/b"], relu
         )
 
-    def _packed_conv(self, p, name, x4, relu=True):
+    def _packed_conv(self, p, name, x4, relu=True, head=None):
         in_s = self._in_scale_of(p, name)
         if (
             self._use_pallas_int8(p, name)
@@ -314,22 +321,29 @@ class UNetS2DInt8(UNetS2DInference):
             if x4.dtype != jnp.int8:
                 q["act_scale"] = in_s
             out_s = self._out_scale_of(p, name)
-            if out_s is not None:
+            if out_s is not None and head is None:
                 q["out_scale"] = out_s
             return conv2x2_flat(
                 x4, p[f"{name}/wq"], _tile4(p[f"{name}/b"]), relu=relu,
-                quant=q,
+                quant=q, head=head,
             )
         if x4.dtype == jnp.int8:
             x4 = x4.astype(jnp.bfloat16) * in_s
         if self._calibrating is not None:
             self._record(name, x4)
         elif f"{name}/wq" in p and f"{name}/ascale" in p:
-            return int8_packed_conv(
+            y = int8_packed_conv(
                 x4, p[f"{name}/wq"], p[f"{name}/wscale"],
                 p[f"{name}/ascale"], p[f"{name}/b"], relu,
             )
-        return packed_conv3_flat(x4, p[f"{name}/w2"], p[f"{name}/b"], relu)
+            if head is not None:
+                from segmentation_tpu.models.unet_fast import head_mask_xla
+
+                return y, head_mask_xla(y, *head)
+            return y
+        return packed_conv3_flat(
+            x4, p[f"{name}/w2"], p[f"{name}/b"], relu, head=head
+        )
 
     def _packed_conv_pool(self, p, name, x4, width, relu=True,
                           pallas=True, pool_pairs=False):
@@ -378,14 +392,28 @@ class UNetS2DInt8(UNetS2DInference):
         lvl = L - 1 - i
         return self._out_scale_of(p, f"conv{lvl + 1}_2")
 
-    def _packed_conv_dual(self, p, name, skip4, up4, relu=True):
+    def _dual_can_fold_crop(self, p, name, skip4, up4) -> bool:
+        """The int8 dual kernel folds the skip crop too (its index maps
+        only read the cropped window, so the calibrated crop scale still
+        applies). Gate mirrors the Pallas branch of _packed_conv_dual."""
+        return (
+            self._use_pallas_int8(p, name)
+            and f"{name}/wq_a" in p
+            and f"{name}/ascale_b" in p
+            and up4.shape[-1] % 128 == 0
+            and up4.shape[1] > 2
+        )
+
+    def _packed_conv_dual(self, p, name, skip4, up4, relu=True,
+                          a_offset=(0, 0), a_slot_phase=None):
+        folded = a_offset != (0, 0) or a_slot_phase is not None
         if (
             self._use_pallas_int8(p, name)
             and f"{name}/wq_a" in p
             and f"{name}/ascale_b" in p
             and up4.shape[-1] % 128 == 0
             and up4.shape[1] > 2
-            and skip4.shape == up4.shape
+            and (folded or skip4.shape == up4.shape)
         ):
             from segmentation_tpu.nn.pallas.conv import conv2x2_dual_flat
 
@@ -408,7 +436,9 @@ class UNetS2DInt8(UNetS2DInference):
             return conv2x2_dual_flat(
                 skip4, up4, p[f"{name}/wq_a"], p[f"{name}/wq_b"],
                 _tile4(p[f"{name}/b"]), quant=q, relu=relu,
+                a_offset=a_offset, a_slot_phase=a_slot_phase,
             )
+        assert not folded, "fold gate passed but Pallas branch declined"
         if skip4.dtype == jnp.int8:
             skip4 = skip4.astype(jnp.bfloat16) * self._skip_scale_of(
                 p, name

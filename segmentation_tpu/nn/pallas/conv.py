@@ -134,8 +134,8 @@ def _stride_for(w_in, quant):
 
 
 def _conv2x2_kernel(r_block, w_in, w_out, relu, out_dtype, quant, in_int8,
-                    out_int8, *refs, pool_out=None, pool_pairs=False,
-                    sel_e=None, sel_o=None):
+                    out_int8, has_head, *refs, pool_out=None,
+                    pool_pairs=False, sel_e=None, sel_o=None):
     """Row-stacked formulation: the R+1 input rows are copied into a
     VMEM scratch at a sublane-aligned stride S = round8(W), so each of
     the four kernel taps becomes ONE [R*S, C] @ [C, O] matmul (M in the
@@ -144,9 +144,21 @@ def _conv2x2_kernel(r_block, w_in, w_out, relu, out_dtype, quant, in_int8,
     The v=1 column tap needs x[j+1]; Mosaic has no sub-32-bit sublane
     rotate, so the shift applies to the f32 PRODUCT: one 32-bit roll of
     the whole stacked block. Row padding (S-W positions) only ever feeds
-    padding positions, never a real output column."""
-    w00, w01, w10, w11, bias = refs[:5]
-    k = 5
+    padding positions, never a real output column.
+
+    int8 path: the two ROW taps stack into the LANE dim instead — scratch
+    [(R+1)*S, 2C] holds [x[r] | x[r+1]] per row, so keep/shift are TWO
+    K=2C matmuls (not four K=C). The int8 MXU only reaches its 2× rate
+    with K ≥ 256; at K=C=128 int8 dots run at the bf16 rate, which is why
+    the first int8 port measured only ~1.1× in context. Each row is
+    quantized once and stored to its two lane slots."""
+    wk_or_w00, ws_or_w01 = refs[0], refs[1]
+    if quant:
+        bias = refs[2]
+        k = 3
+    else:
+        w10, w11, bias = refs[2], refs[3], refs[4]
+        k = 5
     chan_scale = act_inv = out_inv = None
     if quant:
         chan_scale = refs[k]; k += 1
@@ -154,26 +166,53 @@ def _conv2x2_kernel(r_block, w_in, w_out, relu, out_dtype, quant, in_int8,
             act_inv = refs[k]; k += 1
         if out_int8:
             out_inv = refs[k]; k += 1
+    wd = bd = head_out = None
+    if has_head:
+        wd = refs[k]; bd = refs[k + 1]; k += 2
     rows = refs[k : k + r_block + 1]
-    out = refs[k + r_block + 1]
-    xs = refs[k + r_block + 2]                          # [(R+1)*S, C]
+    if has_head:
+        out = refs[k + r_block + 1]
+        head_out = refs[k + r_block + 2]
+        xs = refs[k + r_block + 3]
+    else:
+        out = refs[k + r_block + 1]
+        xs = refs[k + r_block + 2]        # [(R+1)*S, C] / [(R+1)*S, 2C]
     stride = _stride_for(w_in, quant)
     pref = _INT8_PREF if quant else jnp.float32
-    for j in range(r_block + 1):
-        xs[j * stride : j * stride + w_in, :] = _quant_rows(
-            rows[j][0, 0], act_inv
-        ) if quant else rows[j][0, 0]
-    lo = xs[0 : r_block * stride, :]
-    hi = xs[stride : (r_block + 1) * stride, :]
-    keep = jnp.dot(lo, w00[:], preferred_element_type=pref)
-    keep += jnp.dot(hi, w10[:], preferred_element_type=pref)
-    shift = jnp.dot(lo, w01[:], preferred_element_type=pref)
-    shift += jnp.dot(hi, w11[:], preferred_element_type=pref)
+    if quant:
+        c = rows[0].shape[-1]
+        for j in range(r_block + 1):
+            v = _quant_rows(rows[j][0, 0], act_inv)
+            if j < r_block:
+                xs[j * stride : j * stride + w_in, :c] = v
+            if j >= 1:
+                xs[(j - 1) * stride : (j - 1) * stride + w_in, c:] = v
+        lo = xs[0 : r_block * stride, :]
+        keep = jnp.dot(lo, wk_or_w00[:], preferred_element_type=pref)
+        shift = jnp.dot(lo, ws_or_w01[:], preferred_element_type=pref)
+    else:
+        for j in range(r_block + 1):
+            xs[j * stride : j * stride + w_in, :] = rows[j][0, 0]
+        lo = xs[0 : r_block * stride, :]
+        hi = xs[stride : (r_block + 1) * stride, :]
+        keep = jnp.dot(lo, wk_or_w00[:], preferred_element_type=pref)
+        keep += jnp.dot(hi, w10[:], preferred_element_type=pref)
+        shift = jnp.dot(lo, ws_or_w01[:], preferred_element_type=pref)
+        shift += jnp.dot(hi, w11[:], preferred_element_type=pref)
     acc = keep + pltpu.roll(shift, shift.shape[0] - 1, 0)
     for r in range(r_block):
         y = _epilogue(acc[r * stride : r * stride + w_out], bias, relu,
                       jnp.float32, chan_scale, out_inv)
         out[0, r] = y if out_inv is not None else y.astype(out_dtype)
+        if has_head:
+            # fused binary-segmentation head: for n_classes=2 the 1×1
+            # head + argmax is sign(y @ (w₁-w₀) + (b₁-b₀)) per slot —
+            # computed here on the f32 epilogue value, so the consumer
+            # reads a uint8 mask instead of relayouting the full bf16
+            # activation for an XLA einsum+argmax (~4.8 ms at 512²/B=128)
+            hd = jnp.dot(y.astype(jnp.bfloat16), wd[:],
+                         preferred_element_type=jnp.float32)
+            head_out[0, r] = (hd + bd[:] > 0).astype(jnp.uint8)
         if pool_out is not None:
             # fused 2x2/2 max-pool = slot-max over the 4 packed channel
             # groups: two lane rotations + maxima, then the first C/4
@@ -212,13 +251,13 @@ def _conv2x2_kernel_pool(r_block, w_in, w_out, relu, out_dtype,
     n_sel = 2 if pool_pairs else 0
     sel = refs[:n_sel]
     refs = refs[n_sel:]
-    n_in = (5 + (1 if quant else 0) + (1 if quant and not in_int8 else 0)
+    n_in = ((4 if quant else 5) + (1 if quant and not in_int8 else 0)
             + (1 if quant and out_int8 else 0) + r_block + 1)
     ins, out_y, out_pool, xs = (
         refs[:n_in], refs[n_in], refs[n_in + 1], refs[n_in + 2]
     )
     _conv2x2_kernel(r_block, w_in, w_out, relu, out_dtype, quant, in_int8,
-                    out_int8, *ins, out_y, xs,
+                    out_int8, False, *ins, out_y, xs,
                     pool_out=out_pool, pool_pairs=pool_pairs,
                     sel_e=sel[0] if pool_pairs else None,
                     sel_o=sel[1] if pool_pairs else None)
@@ -264,13 +303,18 @@ def _quant_parts(w, b, quant, x_dtype):
 def conv2x2_flat(x, w, b, *, relu: bool = True,
                  r_block: Optional[int] = None,
                  quant=None,
+                 head=None,
                  interpret: bool = False):
     """2×2 VALID conv, flat packed layout (bias+ReLU fused).
 
     x: [N, H, W, C]; w: [2, 2, C, O]; b: [O] (tiled flat bias).
     Returns [N, H-1, W-1, O] in x.dtype. C, O must be 128-multiples.
     ``quant``: int8 path — see _quant_parts (w must then be int8; MXU
-    runs at the 2x int8 rate, i32 accumulate, f32 dequant epilogue)."""
+    runs at the 2x int8 rate, i32 accumulate, f32 dequant epilogue).
+    ``head``: (wd [O, S], bd [S]) — fused binary-segmentation head:
+    also returns a uint8 mask [N, H-1, W-1, S] = (y @ wd + bd > 0),
+    the per-slot argmax for n_classes=2. Requires a float output
+    (no out_scale)."""
     n, h, w_in, c = x.shape
     o = w.shape[-1]
     assert _qualifies(c, o), (c, o)
@@ -282,28 +326,68 @@ def conv2x2_flat(x, w, b, *, relu: bool = True,
     qparts, qspecs, qflags, cdt, out_dtype = _quant_parts(
         w, b, quant, x.dtype
     )
+    assert head is None or not qflags[2], "head needs a float output"
     wt = qparts[0]
-    parts = [wt[0, 0], wt[0, 1], wt[1, 0], wt[1, 1]] + qparts[1:]
-    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4 + [
+    if qflags[0]:
+        # wide-K int8: row taps stacked in lanes → 2 dots of K=2C
+        parts = [
+            jnp.concatenate([wt[0, 0], wt[1, 0]], axis=0),
+            jnp.concatenate([wt[0, 1], wt[1, 1]], axis=0),
+        ] + qparts[1:]
+        n_w = 2
+    else:
+        parts = [wt[0, 0], wt[0, 1], wt[1, 0], wt[1, 1]] + qparts[1:]
+        n_w = 4
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_w + [
         sp or pl.BlockSpec(memory_space=pltpu.VMEM) for sp in qspecs[1:]
     ]
+    if head is not None:
+        wd, bd = head
+        parts += [wd.astype(jnp.bfloat16), bd.astype(jnp.float32)]
+        w_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
     kernel = functools.partial(
-        _conv2x2_kernel, r_block, w_in, w_out, relu, out_dtype, *qflags
+        _conv2x2_kernel, r_block, w_in, w_out, relu, out_dtype, *qflags,
+        head is not None,
     )
     stride = _stride_for(w_in, qflags[0])
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((n, h_out, w_out, o), out_dtype),
-        grid=grid,
-        in_specs=w_specs + _row_specs(r_block + 1, r_block, h, w_in, c),
-        out_specs=pl.BlockSpec(
-            (1, r_block, w_out, o),
+    scratch = (
+        pltpu.VMEM((r_block * stride, 2 * c), cdt) if qflags[0]
+        else pltpu.VMEM(((r_block + 1) * stride, c), cdt)
+    )
+    out_spec = pl.BlockSpec(
+        (1, r_block, w_out, o),
+        lambda n_, i: (n_, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((n, h_out, w_out, o), out_dtype)
+    if head is not None:
+        s_head = head[0].shape[-1]
+        head_spec = pl.BlockSpec(
+            (1, r_block, w_out, s_head),
             lambda n_, i: (n_, i, 0, 0),
             memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM(((r_block + 1) * stride, c), cdt),
-        ],
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                out_shape,
+                jax.ShapeDtypeStruct((n, h_out, w_out, s_head),
+                                     jnp.uint8),
+            ),
+            grid=grid,
+            in_specs=w_specs + _row_specs(r_block + 1, r_block, h, w_in,
+                                          c),
+            out_specs=(out_spec, head_spec),
+            scratch_shapes=[scratch],
+            interpret=interpret,
+        )(*parts, *([x] * (r_block + 1)))
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=w_specs + _row_specs(r_block + 1, r_block, h, w_in, c),
+        out_specs=out_spec,
+        scratch_shapes=[scratch],
         interpret=interpret,
     )(*parts, *([x] * (r_block + 1)))
 
@@ -337,8 +421,16 @@ def conv2x2_pool_flat(x, w, b, *, relu: bool = True,
         w, b, quant, x.dtype
     )
     wt = qparts[0]
-    parts = [wt[0, 0], wt[0, 1], wt[1, 0], wt[1, 1]] + qparts[1:]
-    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4 + [
+    if qflags[0]:
+        parts = [
+            jnp.concatenate([wt[0, 0], wt[1, 0]], axis=0),
+            jnp.concatenate([wt[0, 1], wt[1, 1]], axis=0),
+        ] + qparts[1:]
+        n_w = 2
+    else:
+        parts = [wt[0, 0], wt[0, 1], wt[1, 0], wt[1, 1]] + qparts[1:]
+        n_w = 4
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_w + [
         sp or pl.BlockSpec(memory_space=pltpu.VMEM) for sp in qspecs[1:]
     ]
     if pool_pairs:
@@ -370,6 +462,10 @@ def conv2x2_pool_flat(x, w, b, *, relu: bool = True,
         lambda n_, i: (n_, i, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    scratch = (
+        pltpu.VMEM((r_block * stride, 2 * c), cdt) if qflags[0]
+        else pltpu.VMEM(((r_block + 1) * stride, c), cdt)
+    )
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -379,9 +475,7 @@ def conv2x2_pool_flat(x, w, b, *, relu: bool = True,
         grid=grid,
         in_specs=w_specs + _row_specs(r_block + 1, r_block, h, w_in, c),
         out_specs=(out_spec, pool_spec),
-        scratch_shapes=[
-            pltpu.VMEM(((r_block + 1) * stride, c), cdt),
-        ],
+        scratch_shapes=[scratch],
         interpret=interpret,
     )(*parts, *([x] * (r_block + 1)))
 
@@ -390,10 +484,17 @@ def conv2x2_pool_flat(x, w, b, *, relu: bool = True,
 def _conv2x2_dual_kernel(r_block, w_in, w_out, relu, out_dtype,
                          a_col_off, slot_phase, n_a, quant, in_int8,
                          out_int8, *refs):
-    wa = refs[:4]
-    wb = refs[4:8]
-    bias = refs[8]
-    k = 9
+    if quant:
+        # wide-K int8 (see _conv2x2_kernel): per side, 2 dots of K=2C
+        wa = refs[:2]
+        wb = refs[2:4]
+        bias = refs[4]
+        k = 5
+    else:
+        wa = refs[:4]
+        wb = refs[4:8]
+        bias = refs[8]
+        k = 9
     sc_a = sc_b = ai_a = ai_b = out_inv = None
     if quant:
         a_inline, b_inline = in_int8  # (inline_a, inline_b) flags
@@ -411,16 +512,29 @@ def _conv2x2_dual_kernel(r_block, w_in, w_out, relu, out_dtype,
     xb = refs[k + n_a + r_block + 3]
     stride = _stride_for(w_in, quant)
     pref = _INT8_PREF if quant else jnp.float32
+    c_lane = rows_b[0].shape[-1]
+
+    def put(xs, j, v):
+        """Store row j's value: plain slot, or (int8 wide-K) both lane
+        slots — lo of row j and hi of row j-1."""
+        if not quant:
+            xs[j * stride : j * stride + w_in, :] = v
+            return
+        if j < r_block:
+            xs[j * stride : j * stride + w_in, :c_lane] = v
+        if j >= 1:
+            xs[(j - 1) * stride : (j - 1) * stride + w_in, c_lane:] = v
+
     for j in range(r_block + 1):
         if slot_phase is None:
             # xa rows come from the (wider) skip tensor: the center-crop's
             # column offset applies here, its row offset in the index map
             # — the crop never materializes.
-            xa[j * stride : j * stride + w_in, :] = _quant_rows(
+            put(xa, j, _quant_rows(
                 rows_a[j][0, 0, a_col_off : a_col_off + w_in, :], ai_a
             ) if quant else (
                 rows_a[j][0, 0, a_col_off : a_col_off + w_in, :]
-            )
+            ))
         else:
             # ODD-offset center-crop = slot-phase shift (unet_fast.
             # packed_center_crop_flat): output slot (d, e) reads input
@@ -428,7 +542,7 @@ def _conv2x2_dual_kernel(r_block, w_in, w_out, relu, out_dtype,
             # ((oh+d)//2, (ow+e)//2). Four lane-group copies per row
             # replace an XLA slice+stack that cost a ~4.5 ms relayout.
             oh, ow = slot_phase
-            cg = xa.shape[-1] // 4
+            cg = c_lane // 4
             for s_out in range(4):
                 d, e = s_out // 2, s_out % 2
                 src = 2 * ((oh + d) % 2) + ((ow + e) % 2)
@@ -436,26 +550,40 @@ def _conv2x2_dual_kernel(r_block, w_in, w_out, relu, out_dtype,
                 co = (ow + e) // 2
                 grp = rows_a[j + ro_d][0, 0, co : co + w_in,
                                        src * cg : (src + 1) * cg]
-                xa[j * stride : j * stride + w_in,
-                   s_out * cg : (s_out + 1) * cg] = (
-                    _quant_rows(grp, ai_a) if quant else grp
-                )
-        xb[j * stride : j * stride + w_in, :] = (
-            _quant_rows(rows_b[j][0, 0], ai_b) if quant
-            else rows_b[j][0, 0]
-        )
-    lo_a = xa[0 : r_block * stride, :]
-    hi_a = xa[stride : (r_block + 1) * stride, :]
-    lo_b = xb[0 : r_block * stride, :]
-    hi_b = xb[stride : (r_block + 1) * stride, :]
-    keep_a = jnp.dot(lo_a, wa[0][:], preferred_element_type=pref)
-    keep_a += jnp.dot(hi_a, wa[2][:], preferred_element_type=pref)
-    shift_a = jnp.dot(lo_a, wa[1][:], preferred_element_type=pref)
-    shift_a += jnp.dot(hi_a, wa[3][:], preferred_element_type=pref)
-    keep_b = jnp.dot(lo_b, wb[0][:], preferred_element_type=pref)
-    keep_b += jnp.dot(hi_b, wb[2][:], preferred_element_type=pref)
-    shift_b = jnp.dot(lo_b, wb[1][:], preferred_element_type=pref)
-    shift_b += jnp.dot(hi_b, wb[3][:], preferred_element_type=pref)
+                grp = _quant_rows(grp, ai_a) if quant else grp
+                if not quant:
+                    xa[j * stride : j * stride + w_in,
+                       s_out * cg : (s_out + 1) * cg] = grp
+                else:
+                    if j < r_block:
+                        xa[j * stride : j * stride + w_in,
+                           s_out * cg : (s_out + 1) * cg] = grp
+                    if j >= 1:
+                        xa[(j - 1) * stride : (j - 1) * stride + w_in,
+                           c_lane + s_out * cg
+                           : c_lane + (s_out + 1) * cg] = grp
+        put(xb, j, _quant_rows(rows_b[j][0, 0], ai_b) if quant
+            else rows_b[j][0, 0])
+    if quant:
+        lo_a = xa[0 : r_block * stride, :]
+        lo_b = xb[0 : r_block * stride, :]
+        keep_a = jnp.dot(lo_a, wa[0][:], preferred_element_type=pref)
+        shift_a = jnp.dot(lo_a, wa[1][:], preferred_element_type=pref)
+        keep_b = jnp.dot(lo_b, wb[0][:], preferred_element_type=pref)
+        shift_b = jnp.dot(lo_b, wb[1][:], preferred_element_type=pref)
+    else:
+        lo_a = xa[0 : r_block * stride, :]
+        hi_a = xa[stride : (r_block + 1) * stride, :]
+        lo_b = xb[0 : r_block * stride, :]
+        hi_b = xb[stride : (r_block + 1) * stride, :]
+        keep_a = jnp.dot(lo_a, wa[0][:], preferred_element_type=pref)
+        keep_a += jnp.dot(hi_a, wa[2][:], preferred_element_type=pref)
+        shift_a = jnp.dot(lo_a, wa[1][:], preferred_element_type=pref)
+        shift_a += jnp.dot(hi_a, wa[3][:], preferred_element_type=pref)
+        keep_b = jnp.dot(lo_b, wb[0][:], preferred_element_type=pref)
+        keep_b += jnp.dot(hi_b, wb[2][:], preferred_element_type=pref)
+        shift_b = jnp.dot(lo_b, wb[1][:], preferred_element_type=pref)
+        shift_b += jnp.dot(hi_b, wb[3][:], preferred_element_type=pref)
     acc_a = keep_a + pltpu.roll(shift_a, shift_a.shape[0] - 1, 0)
     acc_b = keep_b + pltpu.roll(shift_b, shift_b.shape[0] - 1, 0)
     if quant:
@@ -539,10 +667,21 @@ def conv2x2_dual_flat(xa, xb, wa, wb, b, *, relu: bool = True,
         if out_int8:
             arr, spec = _smem_scalar(1.0 / quant["out_scale"])
             extra_parts.append(arr); extra_specs.append(spec)
-    parts = [wta[0, 0], wta[0, 1], wta[1, 0], wta[1, 1],
-             wtb[0, 0], wtb[0, 1], wtb[1, 0], wtb[1, 1],
-             b.astype(jnp.float32)] + extra_parts
-    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9 + extra_specs
+    if quant is not None:
+        parts = [
+            jnp.concatenate([wta[0, 0], wta[1, 0]], axis=0),
+            jnp.concatenate([wta[0, 1], wta[1, 1]], axis=0),
+            jnp.concatenate([wtb[0, 0], wtb[1, 0]], axis=0),
+            jnp.concatenate([wtb[0, 1], wtb[1, 1]], axis=0),
+            b.astype(jnp.float32),
+        ] + extra_parts
+        n_w = 5
+    else:
+        parts = [wta[0, 0], wta[0, 1], wta[1, 0], wta[1, 1],
+                 wtb[0, 0], wtb[0, 1], wtb[1, 0], wtb[1, 1],
+                 b.astype(jnp.float32)] + extra_parts
+        n_w = 9
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_w + extra_specs
 
     def mk_a(u):
         return pl.BlockSpec(
@@ -573,10 +712,17 @@ def conv2x2_dual_flat(xa, xb, wa, wb, b, *, relu: bool = True,
             lambda n_, i: (n_, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM(((r_block + 1) * stride, c), cdt),
-            pltpu.VMEM(((r_block + 1) * stride, c), cdt),
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((r_block * stride, 2 * c), cdt),
+                pltpu.VMEM((r_block * stride, 2 * c), cdt),
+            ]
+            if quant is not None
+            else [
+                pltpu.VMEM(((r_block + 1) * stride, c), cdt),
+                pltpu.VMEM(((r_block + 1) * stride, c), cdt),
+            ]
+        ),
         interpret=interpret,
     )(*parts, *([xa] * n_a), *([xb] * (r_block + 1)))
 

@@ -328,3 +328,34 @@ def test_dual_int8_parity(np_rng):
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_conv2x2_head_parity(np_rng):
+    """Fused binary-segmentation head: mask == argmax of the 1×1 head on
+    the conv output (n_classes=2 sign-of-difference formulation)."""
+    c = o = 128
+    x = jnp.asarray(np_rng.normal(size=(2, 11, 13, c)), jnp.float32)
+    w = jnp.asarray(np_rng.normal(size=(2, 2, c, o)) * 0.05, jnp.float32)
+    b = jnp.asarray(np_rng.normal(size=(o,)), jnp.float32)
+    # block-diagonal per-slot difference head (4 slots of o//4 channels)
+    cg = o // 4
+    wdv = np_rng.normal(size=(cg,)).astype(np.float32)
+    wd = np.zeros((o, 4), np.float32)
+    for s in range(4):
+        wd[s * cg : (s + 1) * cg, s] = wdv
+    bd = np.full((4,), 0.3, np.float32)
+    y, mask = conv2x2_flat(
+        x, w, b, relu=True, r_block=4,
+        head=(jnp.asarray(wd), jnp.asarray(bd)), interpret=True,
+    )
+    want_y = _oracle_conv(x, w, b, (1, 1), True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want_y),
+                               rtol=1e-4, atol=1e-4)
+    # bf16 head dot in-kernel vs f32 oracle: compare away from ties
+    hd = np.einsum("nhwc,cs->nhws", np.asarray(want_y), wd) + bd
+    clear = np.abs(hd) > 1e-2
+    want_m = (hd > 0).astype(np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(mask)[clear], want_m[clear]
+    )
+    assert mask.dtype == jnp.uint8
