@@ -1,0 +1,95 @@
+"""Train-step throughput sweep for the s2d U-Net (select-VJP pool path).
+
+Times the full jitted train step (fwd+bwd+Adam) at 512² over a batch
+sweep — the VERDICT round-2 target is ≥450 img/s @ B=128 and a B=192
+config that compiles (the round-2 blocker was 4× lane padding of
+C=32-minor backward buffers; the select-VJP pool keeps backward
+activations in the packed 4C layout).
+
+Usage: python benchmarks/train_sweep.py [iters] [b1 b2 ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(iters=20, batches=(128, 160, 192)):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from segmentation_tpu.core.config import ModelConfig
+    from segmentation_tpu.models.unet_fast import UNetS2D
+    from segmentation_tpu.nn import module as hk
+    from segmentation_tpu.nn.shapes import center_crop_or_pad
+    from segmentation_tpu.training import losses as L
+
+    print(f"[{time.strftime('%H:%M:%S')}] init {jax.devices()[0]}",
+          flush=True)
+    mcfg = ModelConfig(input_dims=(512, 512), n_kernels=32, n_classes=2)
+    model = UNetS2D(mcfg)
+    fwd = hk.transform(lambda x: model(x))
+    params, st = fwd.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 192, 192, 3), jnp.bfloat16),
+        train=True,
+    )
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, s, os_, x, y):
+        def loss_fn(p):
+            logits, ns = fwd.apply(
+                p, s, jax.random.PRNGKey(0), x, train=True
+            )
+            yy = center_crop_or_pad(y, logits.shape[1], logits.shape[2])
+            return L.segmentation_xentropy(logits, yy, 2), ns
+
+        (l, ns), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        u, os_ = opt.update(g, os_, p)
+        return optax.apply_updates(p, u), ns, os_, l
+
+    for batch in batches:
+        try:
+            x = jax.jit(
+                lambda k: jax.random.uniform(
+                    k, (batch, 512, 512, 3), jnp.bfloat16
+                )
+            )(jax.random.PRNGKey(2))
+            y = jax.jit(
+                lambda k: jax.random.bernoulli(
+                    k, 0.5, (batch, 512, 512, 1)
+                ).astype(jnp.uint8)
+            )(jax.random.PRNGKey(3))
+            x.block_until_ready()
+            print(f"B={batch} compiling...", flush=True)
+            p2, s2, o2, l = step(params, st, opt_state, x, y)
+            float(l)
+            p2, s2, o2, l = step(p2, s2, o2, x, y)  # post-reshard steady
+            float(l)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                p2, s2, o2, l = step(p2, s2, o2, x, y)
+            float(l)
+            dt = (time.perf_counter() - t0) / iters
+            print(
+                f"B={batch:4d}  {dt * 1e3:7.2f} ms/step  "
+                f"{batch / dt:7.1f} img/s",
+                flush=True,
+            )
+            del p2, s2, o2, x, y
+        except Exception as e:  # noqa: BLE001
+            print(f"B={batch} FAILED: {str(e)[:300]}", flush=True)
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    a = sys.argv[1:]
+    it = int(a[0]) if a else 20
+    bs = tuple(int(b) for b in a[1:]) or (128, 160, 192)
+    main(it, bs)

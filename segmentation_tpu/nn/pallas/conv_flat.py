@@ -1,0 +1,683 @@
+"""Padded-flat Pallas conv kernels: the zero-fill formulation.
+
+The conv.py kernels stream H-rows through VMEM but pay a per-row tax
+twice per grid step: R+1 input rows are copied into a sublane-aligned
+scratch (so the taps become big matmuls), and R output rows are stored
+one slice at a time (the output block's W dim is not sublane-aligned).
+At the big U-Net sites that tax is comparable to the matmul time itself
+(measured ~3 µs of a 4.6 µs grid step on the 254²/C=128 site).
+
+This module moves the alignment into the HBM layout instead: activations
+live as 3-D flat tensors ``[N, HP·S, C]`` where row r occupies flat rows
+``r·S .. r·S+W-1`` and S = W rounded up to the sublane tile (8 for
+bf16/f32, 32 for int8 — the (32, 128) int8 VMEM tile). Columns W..S-1
+are junk (finite garbage); rows past the real H are junk. Then:
+
+  - a grid step's R input rows are ONE contiguous Blocked block
+    ``[R·S, C]`` — no gather, no scratch, no copies;
+  - all four 2×2 taps are matmuls of the SAME block: the column tap is a
+    sublane roll of the f32/i32 product by 1, the ROW tap a roll by S
+    (row stride is exactly S, so "next row" is "+S flat rows");
+  - the row tap's last output row reads row R, outside the block — it is
+    patched with two small dots against a one-row extra ref;
+  - the epilogue (dequant/bias/relu/requant) runs over the whole
+    ``[R·S, O]`` accumulator and stores in TWO slices (rows 0..R-2 and
+    the patched last row) — both sublane-aligned.
+
+Junk propagation is self-contained: a real output column j < W-1 only
+reads real inputs (j, j+1 ≤ W-1); junk columns/rows only ever feed junk
+columns/rows, and every consumer reads the real window. All values stay
+finite (junk is computed from real data plus roll wrap-around), so no
+masking is needed anywhere.
+
+int8 note: these kernels use four K=C dots (the MXU runs int8 at the
+bf16 rate below K=256, so the dots cost the same as bf16's) — the win
+over conv.py's wide-K formulation is eliminating the fill, not the MXU
+time; at the bandwidth-bound U-Net sites that is the larger term.
+
+Parity: tests/test_conv_flat.py pins every kernel against the conv.py
+kernels / lax.conv oracles. Reference behavior: 3×3 VALID conv slim
+semantics per SURVEY §2 (/root/reference/models/basemodel.py conv
+stacks), re-expressed in the s2d packed layout.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from segmentation_tpu.nn.pallas.conv import (
+    _auto_r,
+    _epilogue,
+    _quant_parts,
+    _quant_rows,
+    _smem_scalar,
+)
+
+_INT8_PREF = jnp.int32
+
+
+def stride_for(w: int, dtype) -> int:
+    """Flat row stride: W rounded to the sublane tile of ``dtype``."""
+    t = 32 if dtype == jnp.int8 else 8
+    return (w + t - 1) // t * t
+
+
+def pad_rows(x4: jnp.ndarray, s: int, hp: Optional[int] = None):
+    """[N, H, W, C] → flat [N, HP·S, C] (XLA-side; one fused pad+reshape
+    copy — used at region entry and in tests)."""
+    n, h, w, c = x4.shape
+    hp = hp or h
+    x4 = jnp.pad(x4, ((0, 0), (0, hp - h), (0, s - w), (0, 0)))
+    return x4.reshape(n, hp * s, c)
+
+
+def unpad_rows(xf: jnp.ndarray, s: int, h: int, w: int):
+    """flat [N, HP·S, C] → [N, h, w, C] real window."""
+    n, hps, c = xf.shape
+    return xf.reshape(n, hps // s, s, c)[:, :h, :w, :]
+
+
+def _rolldn(v, d):
+    """Shift toward lower flat rows by d: out[k] = v[k + d] (wraps)."""
+    return pltpu.roll(v, v.shape[0] - d, 0)
+
+
+def _acc_taps(x_main, x_next, w00, w01, w10, w11, s, r_block, pref):
+    """Four-tap accumulator on a flat block.
+
+    Returns (acc_main [(R-1)·S, O] region valid, acc_last [S, O]): the
+    main roll-based accumulation is valid for output rows 0..R-2; the
+    last row's row-tap contribution comes from x_next.
+    """
+    p00 = jnp.dot(x_main, w00, preferred_element_type=pref)
+    p01 = jnp.dot(x_main, w01, preferred_element_type=pref)
+    p10 = jnp.dot(x_main, w10, preferred_element_type=pref)
+    p11 = jnp.dot(x_main, w11, preferred_element_type=pref)
+    keep = p00 + _rolldn(p01, 1)
+    acc = keep + _rolldn(p10, s) + _rolldn(p11, s + 1)
+    pn0 = jnp.dot(x_next, w10, preferred_element_type=pref)
+    pn1 = jnp.dot(x_next, w11, preferred_element_type=pref)
+    last = keep[(r_block - 1) * s :] + pn0 + _rolldn(pn1, 1)
+    return acc, last
+
+
+def _pool_slots(y, out_inv):
+    """Slot-max 2×2/2 pool on a flat [M, O] epilogue value: lane rolls
+    (32-bit) + maxima; first O/4 lanes hold the max over all 4 slots."""
+    o = y.shape[-1]
+    yp = y.astype(jnp.int32) if out_inv is not None else y.astype(
+        jnp.float32
+    )
+    m = jnp.maximum(yp, pltpu.roll(yp, o // 2, 1))
+    m = jnp.maximum(m, pltpu.roll(m, o - o // 4, 1))
+    return m[:, : o // 4]
+
+
+def _split_store(out_ref, r_block, s, val_main, val_last):
+    """Two aligned stores: rows 0..R-2 from the roll path, row R-1 from
+    the patched value."""
+    if r_block > 1:
+        out_ref[0, 0 : (r_block - 1) * s] = val_main
+    out_ref[0, (r_block - 1) * s : r_block * s] = val_last
+
+
+def _conv2x2_padflat_kernel(
+    r_block, s, relu, out_dtype, quant, in_int8, out_int8, has_head,
+    head_only, pool, *refs
+):
+    w00, w01, w10, w11 = refs[0:4]
+    bias = refs[4]
+    k = 5
+    chan_scale = act_inv = out_inv = None
+    if quant:
+        chan_scale = refs[k]; k += 1
+        if not in_int8:
+            act_inv = refs[k]; k += 1
+        if out_int8:
+            out_inv = refs[k]; k += 1
+    wd = bd = None
+    if has_head:
+        wd = refs[k]; bd = refs[k + 1]; k += 2
+    x_main_ref, x_next_ref = refs[k], refs[k + 1]
+    k += 2
+    outs = refs[k:]
+    pref = _INT8_PREF if quant else jnp.float32
+
+    x_main = _quant_rows(x_main_ref[0], act_inv)
+    x_next = _quant_rows(x_next_ref[0], act_inv)
+    acc, last = _acc_taps(
+        x_main, x_next, w00[:], w01[:], w10[:], w11[:], s, r_block, pref
+    )
+
+    def epi(a):
+        return _epilogue(a, bias, relu, out_dtype, chan_scale, out_inv)
+
+    y_main = epi(acc[: (r_block - 1) * s])
+    y_last = epi(last)
+    oi = 0
+    if not head_only:
+        _split_store(outs[oi], r_block, s, y_main, y_last)
+        oi += 1
+    if has_head:
+        # fused nc=2 head+argmax: mask = (y @ (w1-w0) + (b1-b0) > 0),
+        # evaluated on the f32 epilogue value (see conv.py's head story)
+        def mk_mask(yv):
+            hd = jnp.dot(yv.astype(jnp.bfloat16), wd[:],
+                         preferred_element_type=jnp.float32)
+            return (hd + bd[:] > 0).astype(jnp.uint8)
+
+        _split_store(outs[oi], r_block, s, mk_mask(y_main),
+                     mk_mask(y_last))
+        oi += 1
+    if pool:
+        pdt = jnp.int8 if out_inv is not None else out_dtype
+        _split_store(
+            outs[oi], r_block, s,
+            _pool_slots(y_main, out_inv).astype(pdt),
+            _pool_slots(y_last, out_inv).astype(pdt),
+        )
+
+
+def _q_extras(qparts, qspecs):
+    parts = qparts[1:]
+    specs = [sp or pl.BlockSpec(memory_space=pltpu.VMEM)
+             for sp in qspecs[1:]]
+    return parts, specs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "w_real", "s", "relu", "r_block", "pool",
+                     "head_only", "interpret"),
+)
+def conv2x2_padflat(x, w, b, *, h: int, w_real: int, s: int,
+                    relu: bool = True,
+                    r_block: Optional[int] = None,
+                    quant=None, head=None, head_only: bool = False,
+                    pool: bool = False,
+                    interpret: bool = False):
+    """2×2 VALID conv on a padded-flat tensor.
+
+    x: [N, HP·S, C] flat (real rows h, real cols w_real, stride s);
+    w: [2, 2, C, O]; b: [O] tiled flat bias. Returns flat
+    [N, (nb·R)·S, O] (real h-1 × w_real-1), plus optionally the fused
+    uint8 head mask (``head=(wd, bd)``) and/or the fused slot-max pooled
+    tensor (``pool=True`` → [N, (nb·R)·S, O/4]). ``head_only=True``
+    drops the conv output itself — the final decoder conv's activation
+    is dead once the mask exists, and not storing it saves its full HBM
+    write. C, O must be 128-multiples.
+    """
+    n, hps, c = x.shape
+    hp = hps // s
+    o = w.shape[-1]
+    assert c % 128 == 0 and o % 128 == 0, (c, o)
+    assert head is not None or not head_only
+    h_out = h - 1
+    if r_block is None:
+        r_block = _auto_r(h_out)
+    r_block = max(1, min(r_block, h_out))
+    nb = pl.cdiv(h_out, r_block)
+    grid = (n, nb)
+    qparts, qspecs, qflags, cdt, out_dtype = _quant_parts(
+        w, b, quant, x.dtype
+    )
+    assert head is None or not qflags[2], "head needs a float epilogue"
+    wt = qparts[0]
+    parts = [wt[0, 0], wt[0, 1], wt[1, 0], wt[1, 1], qparts[1]]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+    eparts, especs = _q_extras(qparts[1:], qspecs[1:])
+    parts += eparts
+    in_specs += especs
+    if head is not None:
+        wd, bd = head
+        parts += [wd.astype(jnp.bfloat16), bd.astype(jnp.float32)]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+    # main block: R input rows, contiguous; extra ref: row i·R+R (clamped)
+    in_specs += [
+        pl.BlockSpec((1, r_block * s, c), lambda n_, i: (n_, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, s, c),
+            lambda n_, i: (n_, jnp.minimum(i * r_block + r_block, hp - 1),
+                           0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    out_block = pl.BlockSpec((1, r_block * s, o),
+                             lambda n_, i: (n_, i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shapes, out_specs = [], []
+    if not head_only:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((n, nb * r_block * s, o), out_dtype)
+        )
+        out_specs.append(out_block)
+    if head is not None:
+        sh = head[0].shape[-1]
+        out_shapes.append(
+            jax.ShapeDtypeStruct((n, nb * r_block * s, sh), jnp.uint8)
+        )
+        out_specs.append(
+            pl.BlockSpec((1, r_block * s, sh), lambda n_, i: (n_, i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    if pool:
+        out_shapes.append(
+            jax.ShapeDtypeStruct(
+                (n, nb * r_block * s, o // 4),
+                jnp.int8 if qflags[2] else out_dtype,
+            )
+        )
+        out_specs.append(
+            pl.BlockSpec((1, r_block * s, o // 4),
+                         lambda n_, i: (n_, i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    kernel = functools.partial(
+        _conv2x2_padflat_kernel, r_block, s, relu, out_dtype, *qflags,
+        head is not None, head_only, pool,
+    )
+    res = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shapes),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        interpret=interpret,
+    )(*parts, x, x)
+    return res if len(res) > 1 else res[0]
+
+
+# ------------------------------------------------------------- dual conv
+def _conv2x2_dual_padflat_kernel(
+    r_block, s, w_in, relu, out_dtype, co, slot_phase, n_a, quant,
+    in_int8, out_int8, *refs
+):
+    wa = refs[0:4]
+    wb = refs[4:8]
+    bias = refs[8]
+    k = 9
+    sc_a = sc_b = ai_a = ai_b = out_inv = None
+    if quant:
+        a_inline, b_inline = in_int8
+        sc_a = refs[k]; sc_b = refs[k + 1]; k += 2
+        if a_inline:
+            ai_a = refs[k]; k += 1
+        if b_inline:
+            ai_b = refs[k]; k += 1
+        if out_int8:
+            out_inv = refs[k]; k += 1
+    rows_a = refs[k : k + n_a]
+    xb_main_ref, xb_next_ref = refs[k + n_a], refs[k + n_a + 1]
+    out = refs[k + n_a + 2]
+    xs = refs[k + n_a + 3]  # A-side scratch [(R+1)·S, C]
+    pref = _INT8_PREF if quant else jnp.float32
+    c_lane = xb_main_ref.shape[-1]
+
+    # ---- A side (skip, cropped): fill the aligned scratch -----------
+    for j in range(r_block + 1):
+        if slot_phase is None:
+            v = rows_a[j][0, co : co + w_in, :]
+            xs[j * s : j * s + w_in, :] = _quant_rows(v, ai_a)
+        else:
+            # odd-offset center-crop = slot-phase shift: output slot
+            # (d, e) reads input slot ((oh+d)%2, (ow+e)%2) at packed
+            # offset ((oh+d)//2, (ow+e)//2) — see conv.py
+            oh, ow = slot_phase
+            cg = c_lane // 4
+            for s_out in range(4):
+                d, e = s_out // 2, s_out % 2
+                src = 2 * ((oh + d) % 2) + ((ow + e) % 2)
+                ro_d = (oh + d) // 2 - oh // 2
+                cof = (ow + e) // 2
+                grp = rows_a[j + ro_d][0, cof : cof + w_in,
+                                      src * cg : (src + 1) * cg]
+                xs[j * s : j * s + w_in,
+                   s_out * cg : (s_out + 1) * cg] = _quant_rows(grp, ai_a)
+    xa = xs[:]
+    pa00 = jnp.dot(xa, wa[0][:], preferred_element_type=pref)
+    pa01 = jnp.dot(xa, wa[1][:], preferred_element_type=pref)
+    pa10 = jnp.dot(xa, wa[2][:], preferred_element_type=pref)
+    pa11 = jnp.dot(xa, wa[3][:], preferred_element_type=pref)
+    acc_a = (pa00 + _rolldn(pa01, 1) + _rolldn(pa10, s)
+             + _rolldn(pa11, s + 1))[0 : r_block * s]
+
+    # ---- B side (up): direct flat block ------------------------------
+    xb_main = _quant_rows(xb_main_ref[0], ai_b)
+    xb_next = _quant_rows(xb_next_ref[0], ai_b)
+    acc_b, last_b = _acc_taps(
+        xb_main, xb_next, wb[0][:], wb[1][:], wb[2][:], wb[3][:], s,
+        r_block, pref,
+    )
+
+    if quant:
+        def mix(a, bv):
+            return (a.astype(jnp.float32) * sc_a[:]
+                    + bv.astype(jnp.float32) * sc_b[:])
+    else:
+        def mix(a, bv):
+            return a + bv
+
+    y_main = _epilogue(
+        mix(acc_a[: (r_block - 1) * s], acc_b[: (r_block - 1) * s]),
+        bias, relu, out_dtype, None, out_inv,
+    )
+    y_last = _epilogue(
+        mix(acc_a[(r_block - 1) * s :], last_b), bias, relu, out_dtype,
+        None, out_inv,
+    )
+    _split_store(out, r_block, s, y_main, y_last)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "w_real", "s", "s_a", "hp_a", "relu", "r_block",
+                     "a_offset", "a_slot_phase", "interpret"),
+)
+def conv2x2_dual_padflat(xa, xb, wa, wb, b, *, h: int, w_real: int,
+                         s: int, s_a: int, hp_a: int,
+                         relu: bool = True,
+                         r_block: Optional[int] = None,
+                         a_offset=(0, 0), a_slot_phase=None,
+                         quant=None, interpret: bool = False):
+    """conv2x2(crop(xa), wa) + conv2x2(xb, wb) + b — the concat-free
+    decoder conv on padded-flat tensors. xb [N, HP·S, C] sets the output
+    geometry (real h × w_real); xa [N, HPA·S_A, C] is the (larger) skip,
+    read through the center-crop offsets ``a_offset=(row, col)`` or the
+    odd-offset ``a_slot_phase`` — the crop rides the A-side scratch fill
+    (the B side needs no scratch at all)."""
+    if a_slot_phase is not None:
+        ro, co = a_slot_phase[0] // 2, None
+        extra_row = 1
+    else:
+        ro, co = a_offset
+        extra_row = 0
+    n, hps, c = xb.shape
+    assert xa.shape[0] == n and xa.shape[2] == c, (xa.shape, xb.shape)
+    o = wa.shape[-1]
+    assert c % 128 == 0 and o % 128 == 0, (c, o)
+    hp = hps // s
+    h_out, w_out = h - 1, w_real - 1
+    if r_block is None:
+        r_block = _auto_r(h_out)
+    r_block = max(1, min(r_block, h_out))
+    nb = pl.cdiv(h_out, r_block)
+    grid = (n, nb)
+    if quant is None:
+        wta, wtb = wa.astype(xb.dtype), wb.astype(xb.dtype)
+        qflags = (False, False, False)
+        cdt, out_dtype = xb.dtype, xb.dtype
+        extra_parts, extra_specs = [], []
+    else:
+        wta, wtb = wa, wb
+        a_inline = quant.get("act_scale_a") is not None
+        b_inline = quant.get("act_scale_b") is not None
+        out_int8 = quant.get("out_scale") is not None
+        qflags = (True, (a_inline, b_inline), out_int8)
+        cdt = jnp.int8
+        out_dtype = jnp.int8 if out_int8 else (
+            jnp.bfloat16 if xb.dtype == jnp.int8 else xb.dtype
+        )
+        extra_parts = [
+            jnp.asarray(quant["chan_scale_a"], jnp.float32),
+            jnp.asarray(quant["chan_scale_b"], jnp.float32),
+        ]
+        extra_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        for key, on in (("act_scale_a", a_inline),
+                        ("act_scale_b", b_inline)):
+            if on:
+                arr, spec = _smem_scalar(1.0 / quant[key])
+                extra_parts.append(arr); extra_specs.append(spec)
+        if out_int8:
+            arr, spec = _smem_scalar(1.0 / quant["out_scale"])
+            extra_parts.append(arr); extra_specs.append(spec)
+    parts = [wta[0, 0], wta[0, 1], wta[1, 0], wta[1, 1],
+             wtb[0, 0], wtb[0, 1], wtb[1, 0], wtb[1, 1],
+             b.astype(jnp.float32)] + extra_parts
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 9 + extra_specs)
+
+    def mk_a(u):
+        return pl.BlockSpec(
+            (1, s_a, c),
+            lambda n_, i, u=u: (
+                n_, jnp.minimum(i * r_block + u + ro, hp_a - 1), 0
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    n_a = r_block + 1 + extra_row
+    in_specs += [mk_a(u) for u in range(n_a)]
+    in_specs += [
+        pl.BlockSpec((1, r_block * s, c), lambda n_, i: (n_, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, s, c),
+            lambda n_, i: (n_, jnp.minimum(i * r_block + r_block, hp - 1),
+                           0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    kernel = functools.partial(
+        _conv2x2_dual_padflat_kernel, r_block, s, w_real, relu, out_dtype,
+        co, a_slot_phase, n_a, *qflags,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, nb * r_block * s, o),
+                                       out_dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, r_block * s, o),
+                               lambda n_, i: (n_, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM(((r_block + 1) * s, c), cdt)],
+        interpret=interpret,
+    )(*parts, *([xa] * n_a), xb, xb)
+
+
+# --------------------------------------------------------- strided conv
+def _conv4x4s2_padflat_kernel(r_block, s2, relu, out_dtype, quant,
+                              in_int8, out_int8, *refs):
+    wk, ws, bias = refs[0], refs[1], refs[2]
+    k = 3
+    chan_scale = act_inv = out_inv = None
+    if quant:
+        chan_scale = refs[k]; k += 1
+        if not in_int8:
+            act_inv = refs[k]; k += 1
+        if out_int8:
+            out_inv = refs[k]; k += 1
+    main_ref = refs[k]
+    extra0, extra1 = refs[k + 1], refs[k + 2]
+    out = refs[k + 3]
+    x4 = refs[k + 4]  # [R·S2, 8C]
+    c2 = main_ref.shape[-1]
+    pref = _INT8_PREF if quant else jnp.float32
+    main = _quant_rows(main_ref[0], act_inv)
+    ex0 = _quant_rows(extra0[0], act_inv)
+    ex1 = _quant_rows(extra1[0], act_inv)
+    for r in range(r_block):
+        for u in range(4):
+            ri = 2 * r + u
+            if ri < 2 * r_block:
+                v = main[ri * s2 : (ri + 1) * s2, :]
+            elif ri == 2 * r_block:
+                v = ex0
+            else:
+                v = ex1
+            x4[r * s2 : (r + 1) * s2, u * c2 : (u + 1) * c2] = v
+    keep = jnp.dot(x4[:], wk[:], preferred_element_type=pref)
+    shift = jnp.dot(x4[:], ws[:], preferred_element_type=pref)
+    acc = keep + _rolldn(shift, 1)
+    out[0] = _epilogue(acc, bias, relu, out_dtype, chan_scale, out_inv)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "w2_real", "s2", "relu", "r_block", "interpret"),
+)
+def conv4x4s2_padflat(x, w4, b, *, h: int, w2_real: int, s2: int,
+                      relu: bool = True, r_block: int = 8,
+                      quant=None, interpret: bool = False):
+    """4×4 stride-2 VALID conv, padded-flat PAIRED input
+    [N, HP·S2, 2C] (pair j = true columns 2j, 2j+1) → padded-flat packed
+    output [N, (nb·R)·S2, O4] (real (h-2)//2 × (w-2)//2 where
+    w = 2·w2_real). The K-stacked scratch fill remains (row taps at
+    stride 2 cannot ride a product roll) but reads from the in-VMEM
+    block, and the epilogue is one aligned store."""
+    n, hps2, c2 = x.shape
+    hp = hps2 // s2
+    o4 = w4.shape[-1]
+    c = c2 // 2
+    assert (2 * c) % 64 == 0 and o4 % 128 == 0, (c, o4)
+    h_out = (h - 2) // 2
+    w_out = w2_real - 1
+    del w_out
+    r_block = max(1, min(r_block, h_out))
+    nb = pl.cdiv(h_out, r_block)
+    grid = (n, nb)
+    wt = w4 if w4.dtype == jnp.int8 else w4.astype(x.dtype)
+    wk = jnp.concatenate(
+        [jnp.concatenate([wt[u, 0], wt[u, 1]], axis=0) for u in range(4)],
+        axis=0,
+    )
+    ws = jnp.concatenate(
+        [jnp.concatenate([wt[u, 2], wt[u, 3]], axis=0) for u in range(4)],
+        axis=0,
+    )
+    parts = [wk, ws, b.astype(jnp.float32)]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+    if quant is None:
+        qflags = (False, False, False)
+        cdt, out_dtype = x.dtype, x.dtype
+    else:
+        in_int8 = quant.get("act_scale") is None
+        out_int8 = quant.get("out_scale") is not None
+        qflags = (True, in_int8, out_int8)
+        cdt = jnp.int8
+        out_dtype = jnp.int8 if out_int8 else (
+            jnp.bfloat16 if x.dtype == jnp.int8 else x.dtype
+        )
+        parts.append(jnp.asarray(quant["chan_scale"], jnp.float32))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        if not in_int8:
+            arr, spec = _smem_scalar(1.0 / quant["act_scale"])
+            parts.append(arr); in_specs.append(spec)
+        if out_int8:
+            arr, spec = _smem_scalar(1.0 / quant["out_scale"])
+            parts.append(arr); in_specs.append(spec)
+    in_specs += [
+        pl.BlockSpec((1, 2 * r_block * s2, c2),
+                     lambda n_, i: (n_, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, s2, c2),
+            lambda n_, i: (
+                n_, jnp.minimum(2 * i * r_block + 2 * r_block, hp - 1), 0
+            ),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, s2, c2),
+            lambda n_, i: (
+                n_,
+                jnp.minimum(2 * i * r_block + 2 * r_block + 1, hp - 1), 0,
+            ),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    kernel = functools.partial(
+        _conv4x4s2_padflat_kernel, r_block, s2, relu, out_dtype, *qflags
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, nb * r_block * s2, o4),
+                                       out_dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, r_block * s2, o4),
+                               lambda n_, i: (n_, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((r_block * s2, 8 * c), cdt)],
+        interpret=interpret,
+    )(*parts, x, x, x)
+
+
+# -------------------------------------------------------- rowwise matmul
+def _matmul_rows_padflat_kernel(relu, out_dtype, quant, in_int8,
+                                out_int8, *refs):
+    wm, bias = refs[0], refs[1]
+    k = 2
+    chan_scale = act_inv = out_inv = None
+    if quant:
+        chan_scale = refs[k]; k += 1
+        if not in_int8:
+            act_inv = refs[k]; k += 1
+        if out_int8:
+            out_inv = refs[k]; k += 1
+    x_ref, out = refs[k], refs[k + 1]
+    pref = _INT8_PREF if quant else jnp.float32
+    xv = _quant_rows(x_ref[0], act_inv)
+    acc = jnp.dot(xv, wm[:], preferred_element_type=pref)
+    out[0] = _epilogue(acc, bias, relu, out_dtype, chan_scale, out_inv)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("relu", "r_block", "interpret")
+)
+def matmul_rows_padflat(x, wm, b, *, relu: bool = True,
+                        r_block: int = 16,
+                        quant=None, interpret: bool = False):
+    """Per-pixel channel matmul on a padded-flat tensor (the 2×2/2
+    transposed conv with unpacked input) — zero scratch, zero per-row
+    work; junk rows/cols map to junk rows/cols."""
+    n, hps, c = x.shape
+    k = wm.shape[-1]
+    assert c % 128 == 0 and k % 128 == 0, (c, k)
+    del r_block
+    blk = min(2048, (hps + 7) // 8 * 8)
+    grid = (n, pl.cdiv(hps, blk))
+    wmt = wm if wm.dtype == jnp.int8 else wm.astype(x.dtype)
+    parts = [wmt, b.astype(jnp.float32)]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+    if quant is None:
+        qflags = (False, False, False)
+        out_dtype = x.dtype
+    else:
+        in_int8 = quant.get("act_scale") is None
+        out_int8 = quant.get("out_scale") is not None
+        qflags = (True, in_int8, out_int8)
+        out_dtype = jnp.int8 if out_int8 else (
+            jnp.bfloat16 if x.dtype == jnp.int8 else x.dtype
+        )
+        parts.append(jnp.asarray(quant["chan_scale"], jnp.float32))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        if not in_int8:
+            arr, spec = _smem_scalar(1.0 / quant["act_scale"])
+            parts.append(arr); in_specs.append(spec)
+        if out_int8:
+            arr, spec = _smem_scalar(1.0 / quant["out_scale"])
+            parts.append(arr); in_specs.append(spec)
+    in_specs.append(
+        pl.BlockSpec((1, blk, c), lambda n_, i: (n_, i, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    kernel = functools.partial(
+        _matmul_rows_padflat_kernel, relu, out_dtype, *qflags
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, hps, k), out_dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, blk, k), lambda n_, i: (n_, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*parts, x)

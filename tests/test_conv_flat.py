@@ -1,0 +1,259 @@
+"""Parity for the padded-flat Pallas kernels (nn/pallas/conv_flat.py)
+against lax.conv oracles and the conv.py kernels — float + int8 modes,
+interpret mode on CPU. Junk rows/columns are verified to never leak into
+the real output window."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from segmentation_tpu.nn.pallas.conv_flat import (
+    conv2x2_dual_padflat,
+    conv2x2_padflat,
+    conv4x4s2_padflat,
+    matmul_rows_padflat,
+    pad_rows,
+    stride_for,
+    unpad_rows,
+)
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _oracle_conv(x, w, b, strides, relu):
+    y = lax.conv_general_dilated(x, w, strides, "VALID",
+                                 dimension_numbers=_DN)
+    y = y + b
+    return jax.nn.relu(y) if relu else y
+
+
+def _flat_in(np_rng, shape, dtype=jnp.float32, s=None):
+    x = jnp.asarray(np_rng.normal(size=shape), jnp.float32)
+    if dtype == jnp.int8:
+        x = jnp.clip(jnp.round(x * 40), -127, 127).astype(jnp.int8)
+    else:
+        x = x.astype(dtype)
+    s = s or stride_for(shape[2], dtype)
+    return x, pad_rows(x, s), s
+
+
+@pytest.mark.parametrize("h,w_in,c,o", [
+    (21, 23, 128, 128),   # odd spatial, ragged last block (nb*R > h)
+    (16, 16, 128, 256),
+    (9, 33, 256, 256),
+])
+@pytest.mark.parametrize("relu", [True, False])
+def test_conv2x2_padflat_parity(np_rng, h, w_in, c, o, relu):
+    x, xf, s = _flat_in(np_rng, (2, h, w_in, c))
+    w = jnp.asarray(np_rng.normal(size=(2, 2, c, o)) * 0.05, jnp.float32)
+    b = jnp.asarray(np_rng.normal(size=(o,)), jnp.float32)
+    got = conv2x2_padflat(xf, w, b, h=h, w_real=w_in, s=s, relu=relu,
+                          r_block=4, interpret=True)
+    got = unpad_rows(got, s, h - 1, w_in - 1)
+    want = _oracle_conv(x, w, b, (1, 1), relu)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv2x2_padflat_int8_resident(np_rng):
+    h, w_in, c, o = 13, 17, 128, 128
+    x, xf, s = _flat_in(np_rng, (2, h, w_in, c), jnp.int8)
+    wq = jnp.clip(
+        jnp.round(jnp.asarray(np_rng.normal(size=(2, 2, c, o)),
+                              jnp.float32) * 30),
+        -127, 127,
+    ).astype(jnp.int8)
+    b = jnp.asarray(np_rng.normal(size=(o,)), jnp.float32)
+    cs = jnp.full((o,), 0.01, jnp.float32)
+    q = {"chan_scale": cs, "out_scale": 0.07}
+    got = conv2x2_padflat(xf, wq, b, h=h, w_real=w_in, s=s, r_block=4,
+                          quant=q, interpret=True)
+    got = unpad_rows(got, s, h - 1, w_in - 1)
+    yf = _oracle_conv(
+        x.astype(jnp.float32), wq.astype(jnp.float32), jnp.zeros_like(b),
+        (1, 1), False,
+    )
+    want = jax.nn.relu(yf * cs + b)
+    wq8 = jnp.clip(jnp.round(want / 0.07), -127, 127).astype(jnp.int8)
+    assert got.dtype == jnp.int8
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(wq8, np.float32), atol=1,
+    )
+
+
+def test_conv2x2_padflat_int8_inline(np_rng):
+    h, w_in, c, o = 11, 12, 128, 128
+    x, xf, s = _flat_in(np_rng, (2, h, w_in, c), jnp.bfloat16)
+    wq = jnp.clip(
+        jnp.round(jnp.asarray(np_rng.normal(size=(2, 2, c, o)),
+                              jnp.float32) * 30),
+        -127, 127,
+    ).astype(jnp.int8)
+    b = jnp.zeros((o,), jnp.float32)
+    cs = jnp.full((o,), 0.02, jnp.float32)
+    q = {"chan_scale": cs, "act_scale": 0.05}
+    got = conv2x2_padflat(xf, wq, b, h=h, w_real=w_in, s=s, r_block=4,
+                          quant=q, interpret=True)
+    got = unpad_rows(got, s, h - 1, w_in - 1)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / 0.05), -127,
+                  127).astype(jnp.float32)
+    yf = _oracle_conv(xq, wq.astype(jnp.float32), jnp.zeros_like(b),
+                      (1, 1), False)
+    want = jax.nn.relu(yf * cs)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=0.05, atol=0.5,
+    )
+
+
+def test_conv2x2_padflat_pool_and_head(np_rng):
+    h, w_in, c, o = 13, 15, 128, 128
+    x, xf, s = _flat_in(np_rng, (2, h, w_in, c))
+    w = jnp.asarray(np_rng.normal(size=(2, 2, c, o)) * 0.05, jnp.float32)
+    b = jnp.asarray(np_rng.normal(size=(o,)), jnp.float32)
+    wd = jnp.asarray(np_rng.normal(size=(o, 4)), jnp.float32)
+    bd = jnp.asarray(np_rng.normal(size=(4,)), jnp.float32)
+    y, mask, pooled = conv2x2_padflat(
+        xf, w, b, h=h, w_real=w_in, s=s, r_block=4, head=(wd, bd),
+        pool=True, interpret=True,
+    )
+    y = unpad_rows(y, s, h - 1, w_in - 1)
+    mask = unpad_rows(mask, s, h - 1, w_in - 1)
+    pooled = unpad_rows(pooled, s, h - 1, w_in - 1)
+    want = _oracle_conv(x, w, b, (1, 1), True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    want_mask = (
+        jnp.einsum("nhwc,cs->nhws", want, wd) + bd > 0
+    ).astype(jnp.uint8)
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(want_mask))
+    yv = want.reshape(*want.shape[:3], 4, o // 4)
+    want_pool = jnp.max(yv, axis=3)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(want_pool),
+                               rtol=1e-4, atol=1e-4)
+    # head_only drops the conv output
+    mask2 = conv2x2_padflat(
+        xf, w, b, h=h, w_real=w_in, s=s, r_block=4, head=(wd, bd),
+        head_only=True, interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(unpad_rows(mask2, s, h - 1, w_in - 1)),
+        np.asarray(want_mask),
+    )
+
+
+@pytest.mark.parametrize("off,slot_phase", [
+    ((0, 0), None),
+    ((2, 1), None),
+    (None, (3, 5)),
+])
+def test_conv2x2_dual_padflat_parity(np_rng, off, slot_phase):
+    c = o = 128
+    hb, wb_ = 11, 13
+    if slot_phase is not None:
+        ha, wa_ = hb + 4, wb_ + 4
+    elif off == (0, 0):
+        ha, wa_ = hb, wb_
+    else:
+        ha, wa_ = hb + 3, wb_ + 2
+    xa, xaf, sa = _flat_in(np_rng, (2, ha, wa_, c))
+    xb, xbf, sb = _flat_in(np_rng, (2, hb, wb_, c))
+    wa = jnp.asarray(np_rng.normal(size=(2, 2, c, o)) * 0.05, jnp.float32)
+    wb = jnp.asarray(np_rng.normal(size=(2, 2, c, o)) * 0.05, jnp.float32)
+    b = jnp.asarray(np_rng.normal(size=(o,)), jnp.float32)
+    if slot_phase is not None:
+        from segmentation_tpu.models.unet_fast import (
+            packed_center_crop_flat,
+        )
+
+        xa_c = packed_center_crop_flat(
+            xa, c // 4, (2 * hb, 2 * wb_), slot_phase
+        )
+        kw = dict(a_offset=(0, 0), a_slot_phase=slot_phase)
+    else:
+        xa_c = xa[:, off[0] : off[0] + hb, off[1] : off[1] + wb_, :]
+        kw = dict(a_offset=off)
+    got = conv2x2_dual_padflat(
+        xaf, xbf, wa, wb, b, h=hb, w_real=wb_, s=sb, s_a=sa,
+        hp_a=xaf.shape[1] // sa, r_block=4, interpret=True, **kw,
+    )
+    got = unpad_rows(got, sb, hb - 1, wb_ - 1)
+    x = jnp.concatenate([xa_c, xb], axis=-1)
+    w = jnp.concatenate([wa, wb], axis=2)
+    want = _oracle_conv(x, w, b, (1, 1), True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv2x2_dual_padflat_int8(np_rng):
+    c = o = 128
+    hb, wb_ = 9, 11
+    ha, wa_ = hb + 3, wb_ + 2
+    off = (1, 2)
+    xa, xaf, sa = _flat_in(np_rng, (2, ha, wa_, c), jnp.int8)
+    xb, xbf, sb = _flat_in(np_rng, (2, hb, wb_, c), jnp.bfloat16)
+    mkq = lambda k: jnp.clip(
+        jnp.round(jnp.asarray(np_rng.normal(size=(2, 2, c, o)),
+                              jnp.float32) * 30),
+        -127, 127,
+    ).astype(jnp.int8)
+    wqa, wqb = mkq(0), mkq(1)
+    b = jnp.asarray(np_rng.normal(size=(o,)), jnp.float32)
+    csa = jnp.full((o,), 0.01, jnp.float32)
+    csb = jnp.full((o,), 0.02, jnp.float32)
+    q = {"chan_scale_a": csa, "chan_scale_b": csb, "act_scale_b": 0.05,
+         "out_scale": 0.1}
+    got = conv2x2_dual_padflat(
+        xaf, xbf, wqa, wqb, b, h=hb, w_real=wb_, s=sb, s_a=sa,
+        hp_a=xaf.shape[1] // sa, r_block=4, a_offset=off, quant=q,
+        interpret=True,
+    )
+    got = unpad_rows(got, sb, hb - 1, wb_ - 1)
+    xa_c = xa[:, off[0] : off[0] + hb, off[1] : off[1] + wb_, :]
+    xbq = jnp.clip(jnp.round(xb.astype(jnp.float32) / 0.05), -127, 127)
+    ya = _oracle_conv(xa_c.astype(jnp.float32), wqa.astype(jnp.float32),
+                      jnp.zeros_like(b), (1, 1), False)
+    yb = _oracle_conv(xbq, wqb.astype(jnp.float32), jnp.zeros_like(b),
+                      (1, 1), False)
+    want = jax.nn.relu(ya * csa + yb * csb + b)
+    wq8 = jnp.clip(jnp.round(want / 0.1), -127, 127)
+    assert got.dtype == jnp.int8
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(wq8, np.float32), atol=1.5,
+    )
+
+
+@pytest.mark.parametrize("h,w_in,c,o4", [
+    (20, 20, 64, 128),
+    (18, 26, 32, 256),    # c2_1-like: 2C=64
+    (13, 24, 64, 256),    # odd H (ragged)
+])
+def test_conv4x4s2_padflat_parity(np_rng, h, w_in, c, o4):
+    x = jnp.asarray(np_rng.normal(size=(2, h, w_in, c)), jnp.float32)
+    w4 = jnp.asarray(np_rng.normal(size=(4, 4, c, o4)) * 0.05,
+                     jnp.float32)
+    b = jnp.asarray(np_rng.normal(size=(o4,)), jnp.float32)
+    # paired flat input
+    xp = x.reshape(x.shape[0], h, w_in // 2, 2 * c)
+    s2 = stride_for(w_in // 2, jnp.float32)
+    xpf = pad_rows(xp, s2)
+    got = conv4x4s2_padflat(xpf, w4, b, h=h, w2_real=w_in // 2, s2=s2,
+                            r_block=3, interpret=True)
+    got = unpad_rows(got, s2, (h - 2) // 2, (w_in - 2) // 2)
+    want = _oracle_conv(x, w4, b, (2, 2), True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_matmul_rows_padflat_parity(np_rng):
+    h, w_in, c, k = 9, 13, 128, 256
+    x, xf, s = _flat_in(np_rng, (2, h, w_in, c))
+    wm = jnp.asarray(np_rng.normal(size=(c, k)) * 0.05, jnp.float32)
+    b = jnp.asarray(np_rng.normal(size=(k,)), jnp.float32)
+    got = matmul_rows_padflat(xf, wm, b, interpret=True)
+    got = unpad_rows(got, s, h, w_in)
+    want = jax.nn.relu(jnp.einsum("nhwc,ck->nhwk", x, wm) + b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
