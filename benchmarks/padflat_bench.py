@@ -74,16 +74,22 @@ def main(batch=128, iters=30):
     def loop(op, args):
         @jax.jit
         def run(args):
-            def body(c, _):
-                out = op(*args)
+            def body(carry, _):
+                c, a = carry
+                # the barrier makes the operands opaque per-iteration so
+                # XLA cannot hoist the (loop-invariant) kernel call
+                a = jax.lax.optimization_barrier(a)
+                out = op(*a)
                 o0 = jax.tree_util.tree_leaves(out)[0]
-                return (c + o0.ravel()[0].astype(jnp.float32) * 1e-30,
-                        None)
+                c = c + o0.ravel()[0].astype(jnp.float32) * 1e-30
+                return (c, a), None
 
-            c, _ = lax.scan(body, jnp.float32(0.0), None, length=iters)
+            (c, _), _ = lax.scan(
+                body, (jnp.float32(0.0), args), None, length=iters
+            )
             return c
 
-        return functools.partial(run, args)
+        return functools.partial(run, tuple(args))
 
     def timed(name, op, *args):
         try:

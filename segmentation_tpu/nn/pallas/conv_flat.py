@@ -681,3 +681,120 @@ def matmul_rows_padflat(x, wm, b, *, relu: bool = True,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(*parts, x)
+
+
+# ---------------------------------------------------- deconv (packed in)
+def _deconv_packed_padflat_kernel(r_half, s_i, s_o, j_in, relu, out_dtype,
+                                  quant, in_int8, out_int8, *refs):
+    il_e, il_o = refs[:2]        # [S_o, S_i] interleave selectors
+    wsel = refs[2:6]
+    bias = refs[6]
+    k = 7
+    chan_scale = act_inv = out_inv = None
+    if quant:
+        chan_scale = refs[k]; k += 1
+        if not in_int8:
+            act_inv = refs[k]; k += 1
+        if out_int8:
+            out_inv = refs[k]; k += 1
+    x_ref, out = refs[k], refs[k + 1]
+    pref = _INT8_PREF if quant else jnp.float32
+    il_dt = jnp.bfloat16 if quant else out_dtype
+    xv = _quant_rows(x_ref[0], act_inv)
+    prods = [
+        jnp.dot(xv, wsel[si][:], preferred_element_type=pref)
+        for si in range(4)
+    ]
+    for r in range(2 * r_half):
+        a, il = r % 2, r // 2
+        # full s_i rows: the selector's zero columns beyond j_in kill the
+        # junk rows, so the interleave also scrubs column garbage
+        p0 = prods[2 * a][il * s_i : (il + 1) * s_i]
+        p1 = prods[2 * a + 1][il * s_i : (il + 1) * s_i]
+        if quant:
+            p0 = p0.astype(jnp.float32) * chan_scale[:]
+            p1 = p1.astype(jnp.float32) * chan_scale[:]
+        y = jnp.dot(il_e[:], p0.astype(il_dt),
+                    preferred_element_type=jnp.float32)
+        y += jnp.dot(il_o[:], p1.astype(il_dt),
+                     preferred_element_type=jnp.float32)
+        out[0, r * s_o : (r + 1) * s_o] = _epilogue(
+            y, bias, relu, out_dtype, None, out_inv
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("i_in", "j_in", "s_i", "relu", "r_block", "interpret"),
+)
+def deconv_packed_padflat(x4, wm, b, *, i_in: int, j_in: int, s_i: int,
+                          relu: bool = True,
+                          r_block: Optional[int] = None,
+                          quant=None, interpret: bool = False):
+    """2×2/2 transposed conv, padded-flat packed input → padded-flat
+    packed output: [N, HP·S_i, 4C] @ wm [C, 4O] → [N, (nb·R)·S_o, 4O]
+    (real 2·i_in × 2·j_in, S_o = stride of 2·j_in). The slot scatter is
+    4 masked-weight dots of the whole input block (no scratch); the
+    column interleave stays per-row selection matmuls (stride-2 scatter
+    has no vector form), rows interleave for free via aligned stores."""
+    n, hps, c4 = x4.shape
+    hp = hps // s_i
+    c = c4 // 4
+    o4 = wm.shape[-1]
+    assert c4 % 128 == 0 and o4 % 128 == 0, (c4, o4)
+    if r_block is None:
+        r_block = _auto_r(2 * i_in)
+    r_block = max(2, min(r_block + r_block % 2, 2 * i_in))  # even
+    r_half = r_block // 2
+    nb = pl.cdiv(2 * i_in, r_block)
+    grid = (n, nb)
+    if quant is None:
+        qflags = (False, False, False)
+        out_dtype, il_dt = x4.dtype, x4.dtype
+        extra_parts, extra_specs = [], []
+    else:
+        in_int8 = quant.get("act_scale") is None
+        out_int8 = quant.get("out_scale") is not None
+        qflags = (True, in_int8, out_int8)
+        out_dtype = jnp.int8 if out_int8 else (
+            jnp.bfloat16 if x4.dtype == jnp.int8 else x4.dtype
+        )
+        il_dt = jnp.bfloat16
+        extra_parts = [jnp.asarray(quant["chan_scale"], jnp.float32)]
+        extra_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        if not in_int8:
+            arr, spec = _smem_scalar(1.0 / quant["act_scale"])
+            extra_parts.append(arr); extra_specs.append(spec)
+        if out_int8:
+            arr, spec = _smem_scalar(1.0 / quant["out_scale"])
+            extra_parts.append(arr); extra_specs.append(spec)
+    s_o = stride_for(2 * j_in, out_dtype)
+    wmt = wm if wm.dtype == jnp.int8 else wm.astype(x4.dtype)
+    zeros = jnp.zeros((c4, o4), wmt.dtype)
+    wsel = [zeros.at[s * c : (s + 1) * c].set(wmt) for s in range(4)]
+    il_e = np.zeros((s_o, s_i), np.float32)
+    il_e[2 * np.arange(j_in), np.arange(j_in)] = 1.0
+    il_o = np.zeros((s_o, s_i), np.float32)
+    il_o[2 * np.arange(j_in) + 1, np.arange(j_in)] = 1.0
+    parts = [jnp.asarray(il_e, il_dt), jnp.asarray(il_o, il_dt)]
+    parts += wsel + [b.astype(jnp.float32)] + extra_parts
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 7 + extra_specs)
+    in_specs.append(
+        pl.BlockSpec((1, r_half * s_i, c4), lambda n_, i: (n_, i, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    kernel = functools.partial(
+        _deconv_packed_padflat_kernel, r_half, s_i, s_o, j_in, relu,
+        out_dtype, *qflags,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, nb * r_block * s_o, o4),
+                                       out_dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, r_block * s_o, o4),
+                               lambda n_, i: (n_, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*parts, x4)

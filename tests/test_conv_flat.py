@@ -257,3 +257,44 @@ def test_matmul_rows_padflat_parity(np_rng):
     want = jax.nn.relu(jnp.einsum("nhwc,ck->nhwk", x, wm) + b)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_deconv_packed_padflat_parity(np_rng, quantized):
+    from segmentation_tpu.models.unet_fast import deconv2_packed_in_flat
+    from segmentation_tpu.nn.pallas.conv_flat import deconv_packed_padflat
+
+    i_in, j_in, c, o = 9, 11, 64, 32
+    x = jnp.asarray(np_rng.normal(size=(2, i_in, j_in, 4 * c)),
+                    jnp.float32)
+    wm = jnp.asarray(np_rng.normal(size=(c, 4 * o)) * 0.05, jnp.float32)
+    b = jnp.asarray(np_rng.normal(size=(o,)), jnp.float32)
+    want = deconv2_packed_in_flat(x, wm, b, o, pallas=False)
+    s_i = stride_for(j_in, jnp.int8 if quantized else jnp.float32)
+    if quantized:
+        xq = jnp.clip(jnp.round(x * 8), -127, 127).astype(jnp.int8)
+        x = xq.astype(jnp.float32) / 8.0
+        wq = jnp.clip(jnp.round(wm / 0.05), -127, 127).astype(jnp.int8)
+        want = deconv2_packed_in_flat(
+            x, wq.astype(jnp.float32) * 0.05, b, o, pallas=False
+        )
+        xf = pad_rows(xq, s_i)
+        q = {"chan_scale": jnp.full((4 * o,), 0.05 / 8.0, jnp.float32)}
+        got = deconv_packed_padflat(
+            xf, wq, jnp.tile(b, 4), i_in=i_in, j_in=j_in, s_i=s_i,
+            r_block=4, quant=q, interpret=True,
+        )
+    else:
+        xf = pad_rows(x, s_i)
+        got = deconv_packed_padflat(
+            xf, wm, jnp.tile(b, 4), i_in=i_in, j_in=j_in, s_i=s_i,
+            r_block=4, interpret=True,
+        )
+    from segmentation_tpu.nn.pallas.conv_flat import stride_for as _sf
+
+    s_o = _sf(2 * j_in, got.dtype)
+    got = unpad_rows(got, s_o, 2 * i_in, 2 * j_in)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=1e-3, atol=0.05,
+    )
