@@ -49,10 +49,10 @@ def main(batch=128, steps=3, mode="bf16"):
             if jnp.issubdtype(p.dtype, jnp.floating) else p, t,
         )
 
-    if mode == "int8":
+    if mode in ("int8", "int8pf"):
         from segmentation_tpu.models.unet_int8 import UNetS2DInt8
 
-        fast = UNetS2DInt8(mcfg)
+        fast = UNetS2DInt8(mcfg, padflat=mode == "int8pf")
         calib = jax.jit(
             lambda k: jax.random.uniform(k, (4, 512, 512, 3), jnp.bfloat16)
         )(jax.random.PRNGKey(7))
@@ -175,6 +175,6 @@ def main(batch=128, steps=3, mode="bf16"):
 if __name__ == "__main__":
     args = sys.argv[1:]
     mode = "bf16"
-    if args and args[-1] in ("bf16", "int8"):
+    if args and args[-1] in ("bf16", "int8", "int8pf"):
         mode = args.pop()
     main(*[int(a) for a in args], mode=mode)

@@ -387,6 +387,8 @@ def packed_conv3_dual_flat(a4, u4, w2a, w2b, b, relu=True, pallas=True):
 def _pallas_backend_ok() -> bool:
     if _PALLAS_CONV == "0":
         return False
+    if os.environ.get("SEG_PALLAS_INTERPRET") == "1":
+        return True  # CPU parity tests: kernels run in interpret mode
     try:
         return jax.default_backend() == "tpu" and len(jax.devices()) == 1
     except Exception:
@@ -555,6 +557,80 @@ def packed_center_crop_flat(x4, c, target_hw, off):
     return flat4(jnp.stack(slots, axis=3))
 
 
+# ----------------------------------------------------------- padded-flat
+# The padded-flat serving region (nn/pallas/conv_flat.py): packed
+# activations live as 3-D [N, HP·S, 4C] where each packed row occupies S
+# flat rows (S = width rounded to the sublane tile). Every kernel's block
+# is then one contiguous aligned window — no scratch fills, no per-row
+# stores (measured −2 ms on c1_2+pool, −2.1 ms on the c9_1 dual at
+# 512²/B=128 vs the 4-D flat kernels; benchmarks/padflat_bench.py).
+
+
+class PadFlat:
+    """Padded-flat packed tensor: ``x`` is [N, HP·S, C]; real geometry is
+    ``h`` packed rows × ``w`` packed cols at flat row stride ``s``
+    (columns w..s-1 and rows beyond h hold finite junk). ``shape``/
+    ``dtype`` present the logical 4-D view so shared gating code works on
+    either representation."""
+
+    __slots__ = ("x", "h", "w", "s")
+
+    def __init__(self, x, h: int, w: int, s: int):
+        self.x, self.h, self.w, self.s = x, h, w, s
+
+    @property
+    def shape(self):
+        return (self.x.shape[0], self.h, self.w, self.x.shape[-1])
+
+    @property
+    def dtype(self):
+        return self.x.dtype
+
+
+jax.tree_util.register_pytree_node(
+    PadFlat,
+    lambda pf: ((pf.x,), (pf.h, pf.w, pf.s)),
+    lambda aux, ch: PadFlat(ch[0], *aux),
+)
+
+
+def _pf_stride(w: int, tile: int) -> int:
+    return -(-w // tile) * tile
+
+
+def pf_from4(x4, tile: int, s: "int | None" = None) -> PadFlat:
+    """[N, H, W, C] → PadFlat (one fused XLA pad+reshape copy)."""
+    from segmentation_tpu.nn.pallas.conv_flat import pad_rows
+
+    n, h, w, c = x4.shape
+    s = s or _pf_stride(w, tile)
+    return PadFlat(pad_rows(x4, s), h, w, s)
+
+
+def pf_to4(pf: PadFlat):
+    """PadFlat → real [N, h, w, C] window (one XLA slice copy)."""
+    from segmentation_tpu.nn.pallas.conv_flat import unpad_rows
+
+    return unpad_rows(pf.x, pf.s, pf.h, pf.w)
+
+
+def pf_pair(pf: PadFlat, tile: int) -> PadFlat:
+    """Column-paired handoff for the next strided entry conv: pair
+    (2j, 2j+1) → one 2C row. When S/2 is still tile-aligned this is a
+    FREE reshape of the flat tensor (adjacent rows are contiguous);
+    otherwise one re-stride copy."""
+    n, hps, c = pf.x.shape
+    if pf.s % (2 * tile) == 0:
+        return PadFlat(
+            _reshape(pf.x, (n, hps // 2, 2 * c)), pf.h, pf.w // 2,
+            pf.s // 2,
+        )
+    x4 = pf_to4(pf)
+    w2 = pf.w // 2
+    x4 = _reshape(x4[:, :, : 2 * w2, :], (n, pf.h, w2, 2 * c))
+    return pf_from4(x4, tile)
+
+
 # ------------------------------------------------------------------ forward
 @dataclasses.dataclass
 class UNetS2DInference:
@@ -585,6 +661,13 @@ class UNetS2DInference:
     # Pallas conv kernels for the packed sites (inference-only: no VJP).
     # UNetS2D (the trainable wrapper) sets this False.
     allow_pallas: bool = True
+    # Padded-flat packed region (conv_flat kernels; see PadFlat). True
+    # engages it whenever the geometry supports it. Default OFF: measured
+    # device time is at parity with the 4-D kernels (the per-kernel wins
+    # are offset by the region-boundary copies) and the dispatch path has
+    # an unexplained wall overhead — see benchmarks/profile_s2d_attr.py
+    # int8pf mode. Flip once it wins end-to-end.
+    padflat: bool = False
 
     @property
     def packed_levels(self) -> int:
@@ -683,6 +766,199 @@ class UNetS2DInference:
         y = y + p[f"{name}/b"].astype(y.dtype)
         return jax.nn.relu(y) if relu else y
 
+    # ---- padded-flat serving hooks ---------------------------------------
+    # The packed region can run entirely on the conv_flat kernels with
+    # activations resident in the PadFlat layout. The int8 subclass
+    # overrides these with quantized dispatches; geometry bookkeeping
+    # lives in _apply_padflat only.
+    def _pf_tile(self) -> int:
+        return 8  # bf16/f32 sublane tile; int8 region uses 32
+
+    def _pf_ready(self, p) -> bool:
+        return True  # int8: calibrated scales present at every site
+
+    def _pf_supported(self, p, x) -> bool:
+        k4 = 4 * self.cfg.n_kernels
+        on = self.padflat if isinstance(self.padflat, bool) else True
+        return (
+            on
+            and self.packed_levels > 0
+            and self.allow_pallas
+            and _pallas_backend_ok()
+            and self.dropout_fn is None
+            and getattr(self, "_calibrating", None) is None
+            and k4 % 128 == 0
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+            and min(x.shape[1], x.shape[2]) >= 24
+            and self._pf_ready(p)
+        )
+
+    def _pf_entry(self, p, name_next, h4) -> PadFlat:
+        """Region entry: the XLA entry conv's 4-D flat packed output →
+        PadFlat (int8 subclass quantizes here at the consumer's scale)."""
+        return pf_from4(h4, self._pf_tile())
+
+    def _pf_conv_pool(self, p, name, pf: PadFlat, relu=True):
+        from segmentation_tpu.nn.pallas import conv_flat as cf
+
+        y, pooled = cf.conv2x2_padflat(
+            pf.x, p[f"{name}/w2"], tile_bias4(p[f"{name}/b"]),
+            h=pf.h, w_real=pf.w, s=pf.s, relu=relu, pool=True,
+        )
+        g = PadFlat(y, pf.h - 1, pf.w - 1, pf.s)
+        return g, PadFlat(pooled, pf.h - 1, pf.w - 1, pf.s)
+
+    def _pf_strided(self, p, name, pfp: PadFlat, relu=True) -> PadFlat:
+        from segmentation_tpu.nn.pallas import conv_flat as cf
+
+        y = cf.conv4x4s2_padflat(
+            pfp.x, p[f"{name}/w4"], tile_bias4(p[f"{name}/b"]),
+            h=pfp.h, w2_real=pfp.w, s2=pfp.s, relu=relu,
+        )
+        return PadFlat(y, (pfp.h - 2) // 2, pfp.w - 1, pfp.s)
+
+    def _pf_conv(self, p, name, pf: PadFlat, relu=True, head=None,
+                 head_only=False):
+        from segmentation_tpu.nn.pallas import conv_flat as cf
+
+        out = cf.conv2x2_padflat(
+            pf.x, p[f"{name}/w2"], tile_bias4(p[f"{name}/b"]),
+            h=pf.h, w_real=pf.w, s=pf.s, relu=relu, head=head,
+            head_only=head_only,
+        )
+        if head is None:
+            return PadFlat(out, pf.h - 1, pf.w - 1, pf.s)
+        if head_only:
+            return PadFlat(out, pf.h - 1, pf.w - 1, pf.s)
+        y, mask = out
+        return (PadFlat(y, pf.h - 1, pf.w - 1, pf.s),
+                PadFlat(mask, pf.h - 1, pf.w - 1, pf.s))
+
+    def _pf_dual(self, p, name, sk: PadFlat, up: PadFlat, relu=True,
+                 a_offset=(0, 0), a_slot_phase=None) -> PadFlat:
+        from segmentation_tpu.nn.pallas import conv_flat as cf
+
+        y = cf.conv2x2_dual_padflat(
+            sk.x, up.x, p[f"{name}/w2a"], p[f"{name}/w2b"],
+            tile_bias4(p[f"{name}/b"]), h=up.h, w_real=up.w, s=up.s,
+            s_a=sk.s, hp_a=sk.x.shape[1] // sk.s, relu=relu,
+            a_offset=a_offset, a_slot_phase=a_slot_phase,
+        )
+        return PadFlat(y, up.h - 1, up.w - 1, up.s)
+
+    def _pf_deconv_matmul(self, p, up, h4, width) -> PadFlat:
+        """2×2/2 transposed conv, std 4-D input → PadFlat packed."""
+        from segmentation_tpu.nn.pallas import conv_flat as cf
+
+        pf = pf_from4(h4, self._pf_tile())
+        y = cf.matmul_rows_padflat(
+            pf.x, p[f"{up}/wm"], tile_bias4(p[f"{up}/b"]), relu=True,
+        )
+        return PadFlat(y, pf.h, pf.w, pf.s)
+
+    def _pf_deconv_packed(self, p, up, pf: PadFlat, width) -> PadFlat:
+        from segmentation_tpu.nn.pallas import conv_flat as cf
+
+        s_out = _pf_stride(2 * pf.w, self._pf_tile())
+        y = cf.deconv_packed_padflat(
+            pf.x, p[f"{up}/wm"], tile_bias4(p[f"{up}/b"]), i_in=pf.h,
+            j_in=pf.w, s_i=pf.s, s_out=s_out, relu=True,
+        )
+        return PadFlat(y, 2 * pf.h, 2 * pf.w, s_out)
+
+    def _apply_padflat(self, p, x, packed_out=False, head=None):
+        """The apply() topology with the packed region resident in the
+        PadFlat layout end-to-end (kernel parity: tests/test_conv_flat.py;
+        model parity: tests/test_unet_padflat.py)."""
+        k = self.cfg.n_kernels
+        L, pl_ = self.levels, self.packed_levels
+        t = self._pf_tile()
+
+        # ---- encoder: packed levels --------------------------------------
+        skips: list = []
+        pfp = None
+        for lvl in range(pl_):
+            c1, c2 = f"conv{lvl + 1}_1", f"conv{lvl + 1}_2"
+            if lvl == 0:
+                h4 = self._strided_conv(p, c1, x)  # XLA C=3 entry
+                pf = self._pf_entry(p, c2, h4)
+            else:
+                pf = self._pf_strided(p, c1, pfp)
+            conv_pf, pool_pf = self._pf_conv_pool(p, c2, pf)
+            skips.append(conv_pf)
+            if lvl + 1 < pl_:
+                pfp = pf_pair(pool_pf, t)
+            else:
+                h = pf_to4(pool_pf)  # region exit → std levels
+
+        # ---- encoder: standard levels + bottleneck -----------------------
+        for lvl in range(pl_, L):
+            h = self._std_conv(p, f"conv{lvl + 1}_1", h)
+            h = self._std_conv(p, f"conv{lvl + 1}_2", h)
+            skips.append(h)
+            h = lax.reduce_window(
+                h, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            )
+        h = self._std_conv(p, f"conv{L + 1}_1", h)
+        h = self._std_conv(p, f"conv{L + 1}_2", h)
+
+        # ---- decoder ------------------------------------------------------
+        head_mask = None
+        pf = None
+        for i, lvl in enumerate(reversed(range(L))):
+            up = f"upconv{i + 1}"
+            c1, c2 = f"conv{L + 2 + i}_1", f"conv{L + 2 + i}_2"
+            width = k * (2**lvl)
+            if lvl < pl_:
+                if pf is None:
+                    upf = self._pf_deconv_matmul(p, up, h, width)
+                else:
+                    upf = self._pf_deconv_packed(p, up, pf, width)
+                sk = skips[lvl]
+                # center-crop offset in UNPACKED units (same math as apply)
+                off = (sk.h - upf.h, sk.w - upf.w)
+                even = off[0] % 2 == 0 and off[1] % 2 == 0
+                pf = self._pf_dual(
+                    p, c1, sk, upf,
+                    a_offset=(off[0] // 2, off[1] // 2) if even else (0, 0),
+                    a_slot_phase=None if even else off,
+                )
+                if head is not None and lvl == 0:
+                    head_mask = self._pf_conv(
+                        p, c2, pf, head=head, head_only=True
+                    )
+                    pf = None  # activation dead once the mask exists
+                else:
+                    pf = self._pf_conv(p, c2, pf)
+            else:
+                h = lax.conv_transpose(
+                    h, jnp.swapaxes(p[f"{up}/w"], 2, 3).astype(h.dtype),
+                    (2, 2), "VALID", dimension_numbers=_DN,
+                    transpose_kernel=True,
+                )
+                h = jax.nn.relu(h + p[f"{up}/b"].astype(h.dtype))
+                sk = skips[lvl]
+                dh = sk.shape[1] - h.shape[1]
+                dw = sk.shape[2] - h.shape[2]
+                sk = sk[:, dh // 2 : dh // 2 + h.shape[1],
+                        dw // 2 : dw // 2 + h.shape[2], :]
+                h = jnp.concatenate([sk, h], axis=-1)
+                h = self._std_conv(p, c1, h)
+                h = self._std_conv(p, c2, h)
+
+        if head_mask is not None:
+            # head fold: only the uint8 mask leaves the region
+            return None, pf_to4(head_mask)
+        if pf is not None:
+            h = pf_to4(pf)  # 4-D flat packed (apply()'s packed contract)
+            if packed_out:
+                return h
+            h = unpack2(view5(h, k))
+        logits = _conv_batch_sharded(h, p["output/w"].astype(h.dtype),
+                                     (1, 1))
+        return logits + p["output/b"].astype(logits.dtype)
+
     # ---- weight preparation ----------------------------------------------
     def _packed_conv_names(self):
         """(encoder-entry names, packed-space names) for the packed levels."""
@@ -745,6 +1021,8 @@ class UNetS2DInference:
         [N, hp, wp, 4·C]. With ``head=(wd, bd)`` (requires packed_out),
         the LAST packed decoder conv also emits the fused binary mask and
         apply returns (h_packed, mask_u8)."""
+        if self._pf_supported(prepared, x):
+            return self._apply_padflat(prepared, x, packed_out, head)
         k = self.cfg.n_kernels
         L, pl_ = self.levels, self.packed_levels
         p = prepared

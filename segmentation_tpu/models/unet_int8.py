@@ -460,6 +460,117 @@ class UNetS2DInt8(UNetS2DInference):
             relu,
         )
 
+    # ---- padded-flat hooks (int8-resident region) --------------------------
+    # Same dispatch logic as the 4-D hooks above, on the conv_flat kernels;
+    # geometry bookkeeping stays in UNetS2DInference._apply_padflat.
+    def _pf_tile(self):
+        return 32  # int8 sublane tile: every region stride is 32-aligned
+
+    def _pf_ready(self, p) -> bool:
+        entry, packed = self._packed_conv_names()
+        dual = set(self._dual_conv_names())
+        for n in entry[1:]:
+            if f"{n}/wq4" not in p or f"{n}/ascale" not in p:
+                return False
+        for n in packed:
+            if n in dual:
+                if f"{n}/wq_a" not in p or f"{n}/ascale_b" not in p:
+                    return False
+            elif f"{n}/wq" not in p or f"{n}/ascale" not in p:
+                return False
+        return True
+
+    def _pf_quant(self, p, name, pf, *, out_ok=True):
+        """(quant dict, weight key suffix) for a single-operand site."""
+        in_s = self._in_scale_of(p, name)
+        q = {}
+        if pf.dtype != jnp.int8:
+            q["act_scale"] = in_s
+        out_s = self._out_scale_of(p, name) if out_ok else None
+        if out_s is not None:
+            q["out_scale"] = out_s
+        return q, in_s
+
+    def _pf_entry(self, p, name_next, h4):
+        # quantize the XLA entry conv's bf16 output at its consumer's
+        # calibrated scale; the round/clip fuses into the producer and the
+        # pad copy moves int8 bytes instead of bf16
+        in_s = self._in_scale_of(p, name_next)
+        from segmentation_tpu.models.unet_fast import pf_from4
+
+        return pf_from4(_quant_act(h4, jnp.float32(in_s)), self._pf_tile())
+
+    def _pf_conv_pool(self, p, name, pf, relu=True):
+        from segmentation_tpu.models.unet_fast import PadFlat
+        from segmentation_tpu.nn.pallas import conv_flat as cf
+
+        q, in_s = self._pf_quant(p, name, pf)
+        q["chan_scale"] = p[f"{name}/wscale"] * in_s
+        y, pooled = cf.conv2x2_padflat(
+            pf.x, p[f"{name}/wq"], _tile4(p[f"{name}/b"]),
+            h=pf.h, w_real=pf.w, s=pf.s, relu=relu, pool=True, quant=q,
+        )
+        return (PadFlat(y, pf.h - 1, pf.w - 1, pf.s),
+                PadFlat(pooled, pf.h - 1, pf.w - 1, pf.s))
+
+    def _pf_strided(self, p, name, pfp, relu=True):
+        from segmentation_tpu.models.unet_fast import PadFlat
+        from segmentation_tpu.nn.pallas import conv_flat as cf
+
+        q, in_s = self._pf_quant(p, name, pfp)
+        q["chan_scale"] = p[f"{name}/wscale4"] * in_s
+        y = cf.conv4x4s2_padflat(
+            pfp.x, p[f"{name}/wq4"], _tile4(p[f"{name}/b"]),
+            h=pfp.h, w2_real=pfp.w, s2=pfp.s, relu=relu, quant=q,
+        )
+        return PadFlat(y, (pfp.h - 2) // 2, pfp.w - 1, pfp.s)
+
+    def _pf_conv(self, p, name, pf, relu=True, head=None, head_only=False):
+        from segmentation_tpu.models.unet_fast import PadFlat
+        from segmentation_tpu.nn.pallas import conv_flat as cf
+
+        q, in_s = self._pf_quant(p, name, pf, out_ok=head is None)
+        q["chan_scale"] = p[f"{name}/wscale"] * in_s
+        out = cf.conv2x2_padflat(
+            pf.x, p[f"{name}/wq"], _tile4(p[f"{name}/b"]),
+            h=pf.h, w_real=pf.w, s=pf.s, relu=relu, head=head,
+            head_only=head_only, quant=q,
+        )
+        if head is None or head_only:
+            return PadFlat(out, pf.h - 1, pf.w - 1, pf.s)
+        y, mask = out
+        return (PadFlat(y, pf.h - 1, pf.w - 1, pf.s),
+                PadFlat(mask, pf.h - 1, pf.w - 1, pf.s))
+
+    def _pf_dual(self, p, name, sk, up, relu=True, a_offset=(0, 0),
+                 a_slot_phase=None):
+        from segmentation_tpu.models.unet_fast import PadFlat
+        from segmentation_tpu.nn.pallas import conv_flat as cf
+
+        skip_s = (
+            self._skip_scale_of(p, name)
+            if sk.dtype == jnp.int8
+            else self._in_scale_of(p, name, "a")
+        )
+        asb = self._in_scale_of(p, name, "b")
+        q = {
+            "chan_scale_a": p[f"{name}/wscale_a"] * skip_s,
+            "chan_scale_b": p[f"{name}/wscale_b"] * asb,
+            "act_scale_b": asb,  # the (bf16) deconv side
+        }
+        if sk.dtype != jnp.int8:
+            q["act_scale_a"] = skip_s
+        out_s = self._out_scale_of(p, name)
+        if out_s is not None:
+            q["out_scale"] = out_s
+        y = cf.conv2x2_dual_padflat(
+            sk.x, up.x, p[f"{name}/wq_a"], p[f"{name}/wq_b"],
+            _tile4(p[f"{name}/b"]), h=up.h, w_real=up.w, s=up.s,
+            s_a=sk.s, hp_a=sk.x.shape[1] // sk.s, relu=relu,
+            a_offset=a_offset, a_slot_phase=a_slot_phase, quant=q,
+        )
+        return PadFlat(y, up.h - 1, up.w - 1, up.s)
+
     def _std_conv(self, p, name, h, relu=True):
         quantized = f"{name}/wq" in p and name in self._std_names_cache
         if self._calibrating is not None and quantized:

@@ -113,6 +113,14 @@ def _smem_scalar(x):
 _INT8_PREF = jnp.int32
 
 
+def _interp(flag: bool) -> bool:
+    """interpret-mode override: SEG_PALLAS_INTERPRET=1 forces the kernels
+    into interpret mode (CPU model-level parity tests)."""
+    import os
+
+    return flag or os.environ.get("SEG_PALLAS_INTERPRET") == "1"
+
+
 def _round8(n: int) -> int:
     return (n + 7) // 8 * 8
 
@@ -379,7 +387,7 @@ def conv2x2_flat(x, w, b, *, relu: bool = True,
                                           c),
             out_specs=(out_spec, head_spec),
             scratch_shapes=[scratch],
-            interpret=interpret,
+            interpret=_interp(interpret),
         )(*parts, *([x] * (r_block + 1)))
     return pl.pallas_call(
         kernel,
@@ -388,7 +396,7 @@ def conv2x2_flat(x, w, b, *, relu: bool = True,
         in_specs=w_specs + _row_specs(r_block + 1, r_block, h, w_in, c),
         out_specs=out_spec,
         scratch_shapes=[scratch],
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(*parts, *([x] * (r_block + 1)))
 
 
@@ -476,7 +484,7 @@ def conv2x2_pool_flat(x, w, b, *, relu: bool = True,
         in_specs=w_specs + _row_specs(r_block + 1, r_block, h, w_in, c),
         out_specs=(out_spec, pool_spec),
         scratch_shapes=[scratch],
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(*parts, *([x] * (r_block + 1)))
 
 
@@ -723,7 +731,7 @@ def conv2x2_dual_flat(xa, xb, wa, wb, b, *, relu: bool = True,
                 pltpu.VMEM(((r_block + 1) * stride, c), cdt),
             ]
         ),
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(*parts, *([xa] * n_a), *([xb] * (r_block + 1)))
 
 
@@ -866,7 +874,7 @@ def conv4x4s2_flat(x, w4, b, *, relu: bool = True, r_block: int = 8,
         scratch_shapes=[
             pltpu.VMEM((r_block * stride, 8 * c), cdt),
         ],
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(*parts, *([xp] * (2 * r_block + 2)))
 
 
@@ -954,7 +962,7 @@ def matmul_rows_flat(x, wm, b, *, relu: bool = True,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[pltpu.VMEM((r_block * stride, c), cdt)],
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(*parts, *([x] * r_block))
 
 
@@ -1086,5 +1094,5 @@ def deconv_packed_flat(x4, wm, b, *, relu: bool = True,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[pltpu.VMEM((r_half * stride, c4), cdt)],
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(*parts, *([x4] * r_half))

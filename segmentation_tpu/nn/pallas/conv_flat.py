@@ -63,6 +63,14 @@ from segmentation_tpu.nn.pallas.conv import (
 _INT8_PREF = jnp.int32
 
 
+def _interp(flag: bool) -> bool:
+    """interpret-mode override: SEG_PALLAS_INTERPRET=1 forces every
+    padflat kernel into interpret mode (CPU model-level parity tests)."""
+    import os
+
+    return flag or os.environ.get("SEG_PALLAS_INTERPRET") == "1"
+
+
 def stride_for(w: int, dtype) -> int:
     """Flat row stride: W rounded to the sublane tile of ``dtype``."""
     t = 32 if dtype == jnp.int8 else 8
@@ -290,7 +298,7 @@ def conv2x2_padflat(x, w, b, *, h: int, w_real: int, s: int,
         grid=grid,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(*parts, x, x)
     return res if len(res) > 1 else res[0]
 
@@ -478,7 +486,7 @@ def conv2x2_dual_padflat(xa, xb, wa, wb, b, *, h: int, w_real: int,
                                lambda n_, i: (n_, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM(((r_block + 1) * s, c), cdt)],
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(*parts, *([xa] * n_a), xb, xb)
 
 
@@ -606,7 +614,7 @@ def conv4x4s2_padflat(x, w4, b, *, h: int, w2_real: int, s2: int,
                                lambda n_, i: (n_, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((r_block * s2, 8 * c), cdt)],
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(*parts, x, x, x)
 
 
@@ -679,7 +687,7 @@ def matmul_rows_padflat(x, wm, b, *, relu: bool = True,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, blk, k), lambda n_, i: (n_, i, 0),
                                memory_space=pltpu.VMEM),
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(*parts, x)
 
 
@@ -725,9 +733,11 @@ def _deconv_packed_padflat_kernel(r_half, s_i, s_o, j_in, relu, out_dtype,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("i_in", "j_in", "s_i", "relu", "r_block", "interpret"),
+    static_argnames=("i_in", "j_in", "s_i", "s_out", "relu", "r_block",
+                     "interpret"),
 )
 def deconv_packed_padflat(x4, wm, b, *, i_in: int, j_in: int, s_i: int,
+                          s_out: Optional[int] = None,
                           relu: bool = True,
                           r_block: Optional[int] = None,
                           quant=None, interpret: bool = False):
@@ -768,7 +778,8 @@ def deconv_packed_padflat(x4, wm, b, *, i_in: int, j_in: int, s_i: int,
         if out_int8:
             arr, spec = _smem_scalar(1.0 / quant["out_scale"])
             extra_parts.append(arr); extra_specs.append(spec)
-    s_o = stride_for(2 * j_in, out_dtype)
+    s_o = s_out or stride_for(2 * j_in, out_dtype)
+    assert s_o >= 2 * j_in, (s_o, j_in)
     wmt = wm if wm.dtype == jnp.int8 else wm.astype(x4.dtype)
     zeros = jnp.zeros((c4, o4), wmt.dtype)
     wsel = [zeros.at[s * c : (s + 1) * c].set(wmt) for s in range(4)]
@@ -796,5 +807,5 @@ def deconv_packed_padflat(x4, wm, b, *, i_in: int, j_in: int, s_i: int,
         out_specs=pl.BlockSpec((1, r_block * s_o, o4),
                                lambda n_, i: (n_, i, 0),
                                memory_space=pltpu.VMEM),
-        interpret=interpret,
+        interpret=_interp(interpret),
     )(*parts, x4)

@@ -1,0 +1,148 @@
+"""Padded-flat serving region: model-level parity on CPU.
+
+SEG_PALLAS_INTERPRET=1 flips _pallas_backend_ok() on and runs every
+Pallas kernel in interpret mode, so the FULL padflat serving graph
+(entry cast → padflat encoder → std middle → padflat decoder → head
+fold) executes on CPU and is pinned against the XLA oracle path.
+
+Reference behavior: 3×3 VALID U-Net forward, slim semantics
+(/root/reference/models/unet.py:37-110), re-expressed in the s2d packed
+layout — parity chain: standard UNet == s2d flat == s2d padflat.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from segmentation_tpu.core.config import ModelConfig
+from segmentation_tpu.models.unet import UNet
+from segmentation_tpu.nn import module as hk
+
+HW = (204, 204)
+
+
+def _params(k=32, seed=0, nc=2):
+    mcfg = ModelConfig(n_classes=nc, input_dims=HW, n_kernels=k)
+    model = UNet(mcfg, levels=4)
+    fwd = hk.transform(lambda x: model(x))
+    x = jnp.zeros((1, *HW, 3))
+    params, _ = fwd.init(jax.random.PRNGKey(seed), x, train=False)
+    return mcfg, params
+
+
+def _input(seed=1, b=1):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        rng.normal(0.5, 0.25, (b, *HW, 3)).astype(np.float32)
+    )
+
+
+def test_padflat_bf16_parity(monkeypatch):
+    """padflat region == XLA s2d oracle (float32, exact-ish)."""
+    from segmentation_tpu.models.unet_fast import UNetS2DInference
+
+    monkeypatch.setenv("SEG_PALLAS_INTERPRET", "1")
+    mcfg, params = _params()
+    x = _input()
+    oracle = UNetS2DInference(mcfg, allow_pallas=False, padflat=False)
+    pf = UNetS2DInference(mcfg, padflat=True)
+    prepared = oracle.prepare(params)
+    want = oracle.apply(prepared, x)
+    assert pf._pf_supported(prepared, x)
+    got = pf.apply(prepared, x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+    # masks agree essentially everywhere
+    agree = (np.argmax(np.asarray(got), -1)
+             == np.argmax(np.asarray(want), -1)).mean()
+    assert agree > 0.999, agree
+
+
+def test_padflat_int8_parity(monkeypatch):
+    """padflat int8-resident region tracks the 4-D int8 path closely and
+    the float oracle within the PTQ tolerance."""
+    from segmentation_tpu.models.unet_int8 import UNetS2DInt8
+
+    monkeypatch.setenv("SEG_PALLAS_INTERPRET", "1")
+    mcfg, params = _params()
+    x = _input(2)
+    calib = [_input(3), _input(4)]
+
+    q_old = UNetS2DInt8(mcfg, padflat=False)
+    prepared = q_old.prepare(params, calib_batches=calib)
+    want = q_old.apply(prepared, x)
+
+    q_pf = UNetS2DInt8(mcfg, padflat=True)
+    assert q_pf._pf_supported(prepared, x)
+    got = q_pf.apply(prepared, x)
+    assert got.shape == want.shape
+    mask_agree = (np.argmax(np.asarray(got), -1)
+                  == np.argmax(np.asarray(want), -1)).mean()
+    assert mask_agree > 0.995, mask_agree
+    corr = np.corrcoef(
+        np.asarray(want, np.float32).ravel(),
+        np.asarray(got, np.float32).ravel(),
+    )[0, 1]
+    assert corr > 0.995, corr
+
+
+def test_padflat_int8_apply_argmax_head_fold(monkeypatch):
+    """apply_argmax rides the padflat head fold (mask-only kernel) and
+    matches argmax(apply(...))."""
+    from segmentation_tpu.models.unet_int8 import UNetS2DInt8
+
+    monkeypatch.setenv("SEG_PALLAS_INTERPRET", "1")
+    mcfg, params = _params()
+    x = _input(5)
+    q = UNetS2DInt8(mcfg, padflat=True)
+    prepared = q.prepare(params, calib_batches=[_input(6)])
+    ref = np.asarray(jnp.argmax(q.apply(prepared, x), -1))
+    got = np.asarray(q.apply_argmax(prepared, x))
+    assert got.shape == ref.shape
+    agree = (got == ref).mean()
+    # the fused head evaluates sign(y·(w1-w0)) in one bf16 dot; the
+    # reference path rounds the two logits to bf16 separately — pixels
+    # whose logit margin is below bf16 resolution may flip either way
+    assert agree > 0.99, agree
+
+
+def test_padflat_gate_declines_unsupported():
+    """Off-TPU without the interpret override the gate must decline, and
+    tiny-k configs (4k % 128 != 0) must fall back to the 4-D path."""
+    from segmentation_tpu.models.unet_fast import UNetS2DInference
+
+    mcfg, params = _params(k=32)
+    pf = UNetS2DInference(mcfg, padflat=True)
+    prepared = pf.prepare(params)
+    x = _input()
+    if jax.default_backend() != "tpu":
+        assert not pf._pf_supported(prepared, x)
+    small = ModelConfig(n_classes=2, input_dims=HW, n_kernels=4)
+    pf4 = UNetS2DInference(small, padflat=True)
+    assert not pf4._pf_supported({}, x)
+
+
+def test_pf_pair_free_and_copy_paths():
+    from segmentation_tpu.models.unet_fast import (
+        PadFlat, pf_from4, pf_pair, pf_to4,
+    )
+
+    rng = np.random.default_rng(0)
+    for w, tile in ((16, 8), (20, 8), (32, 32), (40, 8)):
+        x4 = jnp.asarray(rng.normal(size=(2, 9, w, 8)), jnp.float32)
+        pf = pf_from4(x4, tile)
+        free = pf.s % (2 * tile) == 0
+        pr = pf_pair(pf, tile)
+        assert isinstance(pr, PadFlat)
+        assert pr.w == w // 2 and pr.h == 9
+        if free:
+            assert pr.s == pf.s // 2
+        got = pf_to4(pr)
+        want = np.asarray(x4)[:, :, : 2 * (w // 2), :].reshape(
+            2, 9, w // 2, 16
+        )
+        np.testing.assert_array_equal(np.asarray(got), want)
