@@ -61,12 +61,26 @@ def save(
         if os.path.exists(tmp):
             os.unlink(tmp)
 
-    _rotate(save_dir, name, max_to_keep)
+    _rotate(save_dir, name, max_to_keep, step=int(step))
     return final
 
 
-def _rotate(save_dir: str, name: str, max_to_keep: int):
+def _rotate(save_dir: str, name: str, max_to_keep: int,
+            step: Optional[int] = None):
+    """Prune to the ``max_to_keep`` highest-step checkpoints at or below
+    the step just saved. Checkpoints numbered ABOVE the current step are
+    stale leftovers from a previous run of this directory (the trainer's
+    step is monotonic) — they are deleted too, or they would shadow the
+    new save and a restart would silently resume the old state."""
     ckpts = list_checkpoints(save_dir, name)
+    if step is not None:
+        for path, s in ckpts:
+            if s > step:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+        ckpts = [(p, s) for p, s in ckpts if s <= step]
     for path, _ in ckpts[:-max_to_keep] if max_to_keep > 0 else []:
         try:
             os.unlink(path)

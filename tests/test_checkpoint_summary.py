@@ -89,3 +89,18 @@ def test_vis_filters_grid():
     w3 = np.random.default_rng(1).normal(size=(5, 5, 3, 4))
     grid3 = vis_filters(w3)
     assert grid3.shape[-1] == 3
+
+
+def test_save_prunes_stale_higher_step(tmp_path):
+    """A save dir holding a STALE higher-step snapshot (previous run of
+    the same directory) must not shadow the new save — found live when a
+    6-iter run into a reused dir left only the old ckpt-10 behind and
+    inference silently restored it."""
+    from segmentation_tpu.utils import checkpoint as ckpt
+
+    tree = {"w": np.zeros((2,), np.float32)}
+    ckpt.save(str(tmp_path), "m", 10, tree, max_to_keep=1)
+    path = ckpt.save(str(tmp_path), "m", 6, tree, max_to_keep=1)
+    names = sorted(os.listdir(tmp_path))
+    assert names == [os.path.basename(path)] == ["m.ckpt-6.npz"]
+    assert ckpt.latest_checkpoint(str(tmp_path), "m") == path
