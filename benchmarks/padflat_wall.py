@@ -1,0 +1,142 @@
+"""Wall-vs-device probe for the padflat serving path.
+
+The int8_e2e run measured padflat at 107 ms wall while the profiler
+(fresh process) saw 64.6 ms device — this script isolates whether the
+gap is real per-step overhead or an artifact of section ordering
+(resident executables/buffers from earlier sections; the axon tunnel
+defers frees). Runs padflat FIRST in a fresh process, then the old int8
+path, timing both a queued loop and a sync-per-step loop.
+
+Also probes Mosaic acceptance of the in-kernel pairing candidates
+(value reshape [M,32]->[M/2,64] and stride-2 sublane slice) needed to
+kill the 6.6 ms pool->pair boundary copies.
+
+Usage: python benchmarks/padflat_wall.py [batch] [reps]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(batch=128, reps=10):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from segmentation_tpu.core.config import ModelConfig
+    from segmentation_tpu.models.unet import UNet
+    from segmentation_tpu.models.unet_int8 import UNetS2DInt8
+    from segmentation_tpu.nn import module as hk
+
+    print(f"[{time.strftime('%H:%M:%S')}] init {jax.devices()[0]}",
+          flush=True)
+
+    # ---- Mosaic acceptance probes (cheap, first) -----------------------
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def probe(name, kernel, x, out_sds):
+        try:
+            y = pl.pallas_call(kernel, out_shape=out_sds)(x)
+            y.block_until_ready()
+            print(f"probe {name}: OK", flush=True)
+            return True
+        except Exception as e:  # noqa: BLE001
+            print(f"probe {name}: FAIL {str(e)[:140]}", flush=True)
+            return False
+
+    xp = jnp.ones((256, 32), jnp.float32)
+
+    def k_reshape(x_ref, o_ref):
+        o_ref[...] = x_ref[...].reshape(128, 64)
+
+    probe("value-reshape [256,32]->[128,64]", k_reshape, xp,
+          jax.ShapeDtypeStruct((128, 64), jnp.float32))
+
+    def k_stride2(x_ref, o_ref):
+        v = x_ref[...]
+        o_ref[...] = jnp.concatenate([v[0::2], v[1::2]], axis=1)
+
+    probe("stride-2 sublane slice+concat", k_stride2, xp,
+          jax.ShapeDtypeStruct((128, 64), jnp.float32))
+
+    def k_roll_interleave(x_ref, o_ref):
+        v = x_ref[...]                      # [256, 32]
+        vs = pltpu.roll(v, 255, 0)          # vs[k] = v[k+1]
+        pair = jnp.concatenate([v, vs], axis=1)  # [256, 64]
+        o_ref[...] = pair[0::2]
+
+    probe("roll+concat+stride2", k_roll_interleave, xp,
+          jax.ShapeDtypeStruct((128, 64), jnp.float32))
+
+    # ---- models ---------------------------------------------------------
+    mcfg = ModelConfig(input_dims=(512, 512), n_kernels=32)
+    model = UNet(mcfg)
+    fwd = hk.transform(lambda x: model(x))
+    params, _ = fwd.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 512, 512, 3), jnp.bfloat16),
+        train=False,
+    )
+
+    def bf16(t):
+        return jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p, t,
+        )
+
+    params = bf16(params)
+    x = jax.jit(
+        lambda k: jax.random.uniform(k, (batch, 512, 512, 3), jnp.bfloat16)
+    )(jax.random.PRNGKey(0))
+    calib = jax.jit(
+        lambda k: jax.random.uniform(k, (8, 512, 512, 3), jnp.bfloat16)
+    )(jax.random.PRNGKey(7))
+    x.block_until_ready()
+
+    q0 = UNetS2DInt8(mcfg, padflat=False)
+    print("calibrating...", flush=True)
+    prep = bf16(q0.prepare(params, calib_batches=[calib]))
+
+    def timeit(label, fn):
+        out = fn(x)  # compile
+        out.block_until_ready()
+        # queued: enqueue all, one sync
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(x)
+        float(out.sum())
+        dt_q = (time.perf_counter() - t0) / reps
+        # sync per step
+        t0 = time.perf_counter()
+        for _ in range(5):
+            float(fn(x).sum())
+        dt_s = (time.perf_counter() - t0) / 5
+        print(f"{label:16s} queued {dt_q * 1e3:7.2f} ms  "
+              f"sync {dt_s * 1e3:7.2f} ms  "
+              f"({batch / dt_q:7.1f} img/s queued)", flush=True)
+        return dt_q
+
+    # padflat FIRST (fresh process, nothing else resident)
+    qpf = UNetS2DInt8(mcfg, padflat=True)
+    f_pf = jax.jit(lambda xx: qpf.apply_argmax(prep, xx))
+    print("compiling padflat...", flush=True)
+    timeit("int8/padflat", f_pf)
+
+    # then the old path in the same process (mirrors int8_e2e ordering
+    # effects in reverse)
+    f_old = jax.jit(lambda xx: q0.apply_argmax(prep, xx))
+    print("compiling old...", flush=True)
+    timeit("int8/old", f_old)
+
+    # padflat again (now with the old executable resident)
+    timeit("int8/padflat#2", f_pf)
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main(*[int(a) for a in sys.argv[1:]])

@@ -598,6 +598,47 @@ def _pf_stride(w: int, tile: int) -> int:
     return -(-w // tile) * tile
 
 
+class PF2:
+    """Paired-column padded-flat tensor (the level-1 fast path): ``x``
+    is [N, HP·S2, 2C] — column pair (2j, 2j+1) in lane halves at pair
+    stride ``s2``; real geometry ``h`` packed rows × ``w`` packed cols.
+    See nn/pallas/conv_flat.py 'pf2 layout'."""
+
+    __slots__ = ("x", "h", "w", "s2")
+
+    def __init__(self, x, h: int, w: int, s2: int):
+        self.x, self.h, self.w, self.s2 = x, h, w, s2
+
+    @property
+    def shape(self):
+        return (self.x.shape[0], self.h, self.w, self.x.shape[-1] // 2)
+
+    @property
+    def dtype(self):
+        return self.x.dtype
+
+
+jax.tree_util.register_pytree_node(
+    PF2,
+    lambda pf: ((pf.x,), (pf.h, pf.w, pf.s2)),
+    lambda aux, ch: PF2(ch[0], *aux),
+)
+
+
+def pf2_from4(x4, tile: int, s2: "int | None" = None) -> PF2:
+    from segmentation_tpu.nn.pallas.conv_flat import pad_pairs
+
+    n, h, w, c = x4.shape
+    s2 = s2 or _pf_stride((w + 1) // 2, tile)
+    return PF2(pad_pairs(x4, s2), h, w, s2)
+
+
+def pf2_to4(pf: PF2):
+    from segmentation_tpu.nn.pallas.conv_flat import unpad_pairs
+
+    return unpad_pairs(pf.x, pf.s2, pf.h, pf.w)
+
+
 def pf_from4(x4, tile: int, s: "int | None" = None) -> PadFlat:
     """[N, H, W, C] → PadFlat (one fused XLA pad+reshape copy)."""
     from segmentation_tpu.nn.pallas.conv_flat import pad_rows
@@ -616,9 +657,15 @@ def pf_to4(pf: PadFlat):
 
 def pf_pair(pf: PadFlat, tile: int) -> PadFlat:
     """Column-paired handoff for the next strided entry conv: pair
-    (2j, 2j+1) → one 2C row. When S/2 is still tile-aligned this is a
-    FREE reshape of the flat tensor (adjacent rows are contiguous);
-    otherwise one re-stride copy."""
+    (2j, 2j+1) → one 2C row.
+
+    The flat-tensor reshape [N, M, C] → [N, M/2, 2C] is the logical
+    pairing, but on TPU a narrow-lane (C=32) tiled tensor makes it TWO
+    relayout copies (measured 6.6 ms at 512²/B=128 — and the 4-D
+    unpad/pair/re-pad route is WORSE, 11.3 ms in four ops; narrow-lane
+    relayouts are unsalvageable in XLA). The real fix is the pf2 layout,
+    where the pool kernel emits the pair directly; this helper remains
+    for the non-pf2 fallback path."""
     n, hps, c = pf.x.shape
     if pf.s % (2 * tile) == 0:
         return PadFlat(
@@ -794,14 +841,45 @@ class UNetS2DInference:
             and self._pf_ready(p)
         )
 
-    def _pf_entry(self, p, name_next, h4) -> PadFlat:
+    def _pf_entry(self, p, name_next, h4, pf2: bool = False):
         """Region entry: the XLA entry conv's 4-D flat packed output →
-        PadFlat (int8 subclass quantizes here at the consumer's scale)."""
+        PadFlat/PF2 (int8 subclass quantizes here at the consumer's
+        scale)."""
+        if pf2:
+            return pf2_from4(h4, self._pf_tile())
         return pf_from4(h4, self._pf_tile())
 
-    def _pf_conv_pool(self, p, name, pf: PadFlat, relu=True):
+    def _pf_entry_conv(self, p, name, x, tile):
+        """lvl-0 entry conv (XLA, C=3) with the output right-padded to
+        the flat stride: VALID 4×4/2 plus (0, pad) edge zeros so out
+        W == S — the junk columns are conv-of-zeros (finite) and
+        pad_rows becomes a pure reshape, saving a full pad pass over the
+        region's biggest tensor (~3.1 ms at 512²/B=128). Returns
+        (h4, real_w)."""
+        n, H, W, _ = x.shape
+        w_out = (W - 2) // 2
+        s = _pf_stride(w_out, tile)
+        pw = 2 * (s - w_out)
+        if pw > 16:  # too much junk conv compute; pad_rows instead
+            return self._strided_conv(p, name, x), w_out
+        y = lax.conv_general_dilated(
+            x, p[f"{name}/w4"].astype(x.dtype), (2, 2),
+            [(0, 0), (0, pw)], dimension_numbers=_DN,
+        )
+        y = y + tile_bias4(p[f"{name}/b"]).astype(y.dtype)
+        return jax.nn.relu(y), w_out
+
+    def _pf_conv_pool(self, p, name, pf, relu=True):
         from segmentation_tpu.nn.pallas import conv_flat as cf
 
+        if isinstance(pf, PF2):
+            y, pooled = cf.conv2x2_pf2(
+                pf.x, p[f"{name}/w2"], tile_bias4(p[f"{name}/b"]),
+                h=pf.h, w_real=pf.w, s2=pf.s2, relu=relu, pool=True,
+            )
+            # the pooled pf2 tensor IS the column-paired PadFlat handoff
+            return (PF2(y, pf.h - 1, pf.w - 1, pf.s2),
+                    PadFlat(pooled, pf.h - 1, (pf.w - 1) // 2, pf.s2))
         y, pooled = cf.conv2x2_padflat(
             pf.x, p[f"{name}/w2"], tile_bias4(p[f"{name}/b"]),
             h=pf.h, w_real=pf.w, s=pf.s, relu=relu, pool=True,
@@ -818,10 +896,20 @@ class UNetS2DInference:
         )
         return PadFlat(y, (pfp.h - 2) // 2, pfp.w - 1, pfp.s)
 
-    def _pf_conv(self, p, name, pf: PadFlat, relu=True, head=None,
+    def _pf_conv(self, p, name, pf, relu=True, head=None,
                  head_only=False):
         from segmentation_tpu.nn.pallas import conv_flat as cf
 
+        if isinstance(pf, PF2):
+            out = cf.conv2x2_pf2(
+                pf.x, p[f"{name}/w2"], tile_bias4(p[f"{name}/b"]),
+                h=pf.h, w_real=pf.w, s2=pf.s2, relu=relu, head=head,
+                head_only=head_only,
+            )
+            mk = lambda v: PF2(v, pf.h - 1, pf.w - 1, pf.s2)
+            if head is None or head_only:
+                return mk(out)
+            return mk(out[0]), mk(out[1])
         out = cf.conv2x2_padflat(
             pf.x, p[f"{name}/w2"], tile_bias4(p[f"{name}/b"]),
             h=pf.h, w_real=pf.w, s=pf.s, relu=relu, head=head,
@@ -835,10 +923,19 @@ class UNetS2DInference:
         return (PadFlat(y, pf.h - 1, pf.w - 1, pf.s),
                 PadFlat(mask, pf.h - 1, pf.w - 1, pf.s))
 
-    def _pf_dual(self, p, name, sk: PadFlat, up: PadFlat, relu=True,
-                 a_offset=(0, 0), a_slot_phase=None) -> PadFlat:
+    def _pf_dual(self, p, name, sk, up, relu=True,
+                 a_offset=(0, 0), a_slot_phase=None):
         from segmentation_tpu.nn.pallas import conv_flat as cf
 
+        if isinstance(up, PF2):
+            assert a_slot_phase is None, "pf2 dual needs slot-even crops"
+            y = cf.conv2x2_dual_pf2(
+                sk.x, up.x, p[f"{name}/w2a"], p[f"{name}/w2b"],
+                tile_bias4(p[f"{name}/b"]), h=up.h, w_real=up.w,
+                s2=up.s2, s2_a=sk.s2, hp_a=sk.x.shape[1] // sk.s2,
+                relu=relu, a_row_off=a_offset[0], a_col_off=a_offset[1],
+            )
+            return PF2(y, up.h - 1, up.w - 1, up.s2)
         y = cf.conv2x2_dual_padflat(
             sk.x, up.x, p[f"{name}/w2a"], p[f"{name}/w2b"],
             tile_bias4(p[f"{name}/b"]), h=up.h, w_real=up.w, s=up.s,
@@ -857,9 +954,16 @@ class UNetS2DInference:
         )
         return PadFlat(y, pf.h, pf.w, pf.s)
 
-    def _pf_deconv_packed(self, p, up, pf: PadFlat, width) -> PadFlat:
+    def _pf_deconv_packed(self, p, up, pf: PadFlat, width,
+                          pf2_out: bool = False):
         from segmentation_tpu.nn.pallas import conv_flat as cf
 
+        if pf2_out:
+            y = cf.deconv_packed_padflat(
+                pf.x, p[f"{up}/wm"], tile_bias4(p[f"{up}/b"]),
+                i_in=pf.h, j_in=pf.w, s_i=pf.s, relu=True, pf2_out=True,
+            )
+            return PF2(y, 2 * pf.h, 2 * pf.w, pf.s)
         s_out = _pf_stride(2 * pf.w, self._pf_tile())
         y = cf.deconv_packed_padflat(
             pf.x, p[f"{up}/wm"], tile_bias4(p[f"{up}/b"]), i_in=pf.h,
@@ -867,13 +971,29 @@ class UNetS2DInference:
         )
         return PadFlat(y, 2 * pf.h, 2 * pf.w, s_out)
 
+    def _pf2_ok(self, x) -> bool:
+        """Level-1 pf2 layout gate: needs two packed levels, a slot-even
+        lvl-0 decoder crop (h1, w1 odd ⇒ the skip/up offset is even in
+        unpacked units), and the stride-padded entry trick (so the entry
+        pair reshape is free)."""
+        if self.packed_levels < 2:
+            return False
+        t = self._pf_tile()
+        h1, w1 = (x.shape[1] - 2) // 2, (x.shape[2] - 2) // 2
+        if h1 % 2 == 0 or w1 % 2 == 0:
+            return False
+        s = _pf_stride(w1, t)
+        return s % (2 * t) == 0 and 2 * (s - w1) <= 16
+
     def _apply_padflat(self, p, x, packed_out=False, head=None):
         """The apply() topology with the packed region resident in the
-        PadFlat layout end-to-end (kernel parity: tests/test_conv_flat.py;
-        model parity: tests/test_unet_padflat.py)."""
+        PadFlat layout end-to-end — and level 1 in the paired-column PF2
+        layout when the geometry allows (kernel parity:
+        tests/test_conv_flat.py; model parity: tests/test_unet_padflat.py)."""
         k = self.cfg.n_kernels
         L, pl_ = self.levels, self.packed_levels
         t = self._pf_tile()
+        use_pf2 = self._pf2_ok(x)
 
         # ---- encoder: packed levels --------------------------------------
         skips: list = []
@@ -881,14 +1001,20 @@ class UNetS2DInference:
         for lvl in range(pl_):
             c1, c2 = f"conv{lvl + 1}_1", f"conv{lvl + 1}_2"
             if lvl == 0:
-                h4 = self._strided_conv(p, c1, x)  # XLA C=3 entry
-                pf = self._pf_entry(p, c2, h4)
+                h4, w_real = self._pf_entry_conv(p, c1, x, t)
+                pf = self._pf_entry(p, c2, h4, pf2=use_pf2)
+                if pf.w != w_real:  # stride-padded entry: fix real width
+                    pf = (PF2(pf.x, pf.h, w_real, pf.s2) if use_pf2
+                          else PadFlat(pf.x, pf.h, w_real, pf.s))
             else:
                 pf = self._pf_strided(p, c1, pfp)
             conv_pf, pool_pf = self._pf_conv_pool(p, c2, pf)
             skips.append(conv_pf)
             if lvl + 1 < pl_:
-                pfp = pf_pair(pool_pf, t)
+                # the PF2 conv+pool emits the column-paired handoff
+                # directly; the plain path pays the pair reshape
+                pfp = (pool_pf if isinstance(conv_pf, PF2)
+                       else pf_pair(pool_pf, t))
             else:
                 h = pf_to4(pool_pf)  # region exit → std levels
 
@@ -914,7 +1040,10 @@ class UNetS2DInference:
                 if pf is None:
                     upf = self._pf_deconv_matmul(p, up, h, width)
                 else:
-                    upf = self._pf_deconv_packed(p, up, pf, width)
+                    upf = self._pf_deconv_packed(
+                        p, up, pf, width,
+                        pf2_out=use_pf2 and lvl == 0,
+                    )
                 sk = skips[lvl]
                 # center-crop offset in UNPACKED units (same math as apply)
                 off = (sk.h - upf.h, sk.w - upf.w)
@@ -948,10 +1077,14 @@ class UNetS2DInference:
                 h = self._std_conv(p, c2, h)
 
         if head_mask is not None:
-            # head fold: only the uint8 mask leaves the region
-            return None, pf_to4(head_mask)
+            # head fold: only the uint8 mask leaves the region (pf2
+            # unpads back to the same [N, hp, wp, 4] plain mask)
+            m4 = (pf2_to4(head_mask) if isinstance(head_mask, PF2)
+                  else pf_to4(head_mask))
+            return None, m4
         if pf is not None:
-            h = pf_to4(pf)  # 4-D flat packed (apply()'s packed contract)
+            # 4-D flat packed (apply()'s packed contract)
+            h = pf2_to4(pf) if isinstance(pf, PF2) else pf_to4(pf)
             if packed_out:
                 return h
             h = unpack2(view5(h, k))

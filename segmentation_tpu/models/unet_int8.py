@@ -491,21 +491,32 @@ class UNetS2DInt8(UNetS2DInference):
             q["out_scale"] = out_s
         return q, in_s
 
-    def _pf_entry(self, p, name_next, h4):
+    def _pf_entry(self, p, name_next, h4, pf2=False):
         # quantize the XLA entry conv's bf16 output at its consumer's
         # calibrated scale; the round/clip fuses into the producer and the
         # pad copy moves int8 bytes instead of bf16
         in_s = self._in_scale_of(p, name_next)
-        from segmentation_tpu.models.unet_fast import pf_from4
+        from segmentation_tpu.models.unet_fast import pf2_from4, pf_from4
 
-        return pf_from4(_quant_act(h4, jnp.float32(in_s)), self._pf_tile())
+        q8 = _quant_act(h4, jnp.float32(in_s))
+        if pf2:
+            return pf2_from4(q8, self._pf_tile())
+        return pf_from4(q8, self._pf_tile())
 
     def _pf_conv_pool(self, p, name, pf, relu=True):
-        from segmentation_tpu.models.unet_fast import PadFlat
+        from segmentation_tpu.models.unet_fast import PF2, PadFlat
         from segmentation_tpu.nn.pallas import conv_flat as cf
 
         q, in_s = self._pf_quant(p, name, pf)
         q["chan_scale"] = p[f"{name}/wscale"] * in_s
+        if isinstance(pf, PF2):
+            y, pooled = cf.conv2x2_pf2(
+                pf.x, p[f"{name}/wq"], _tile4(p[f"{name}/b"]),
+                h=pf.h, w_real=pf.w, s2=pf.s2, relu=relu, pool=True,
+                quant=q,
+            )
+            return (PF2(y, pf.h - 1, pf.w - 1, pf.s2),
+                    PadFlat(pooled, pf.h - 1, (pf.w - 1) // 2, pf.s2))
         y, pooled = cf.conv2x2_padflat(
             pf.x, p[f"{name}/wq"], _tile4(p[f"{name}/b"]),
             h=pf.h, w_real=pf.w, s=pf.s, relu=relu, pool=True, quant=q,
@@ -526,11 +537,21 @@ class UNetS2DInt8(UNetS2DInference):
         return PadFlat(y, (pfp.h - 2) // 2, pfp.w - 1, pfp.s)
 
     def _pf_conv(self, p, name, pf, relu=True, head=None, head_only=False):
-        from segmentation_tpu.models.unet_fast import PadFlat
+        from segmentation_tpu.models.unet_fast import PF2, PadFlat
         from segmentation_tpu.nn.pallas import conv_flat as cf
 
         q, in_s = self._pf_quant(p, name, pf, out_ok=head is None)
         q["chan_scale"] = p[f"{name}/wscale"] * in_s
+        if isinstance(pf, PF2):
+            out = cf.conv2x2_pf2(
+                pf.x, p[f"{name}/wq"], _tile4(p[f"{name}/b"]),
+                h=pf.h, w_real=pf.w, s2=pf.s2, relu=relu, head=head,
+                head_only=head_only, quant=q,
+            )
+            mk = lambda v: PF2(v, pf.h - 1, pf.w - 1, pf.s2)
+            if head is None or head_only:
+                return mk(out)
+            return mk(out[0]), mk(out[1])
         out = cf.conv2x2_padflat(
             pf.x, p[f"{name}/wq"], _tile4(p[f"{name}/b"]),
             h=pf.h, w_real=pf.w, s=pf.s, relu=relu, head=head,
@@ -544,7 +565,7 @@ class UNetS2DInt8(UNetS2DInference):
 
     def _pf_dual(self, p, name, sk, up, relu=True, a_offset=(0, 0),
                  a_slot_phase=None):
-        from segmentation_tpu.models.unet_fast import PadFlat
+        from segmentation_tpu.models.unet_fast import PF2, PadFlat
         from segmentation_tpu.nn.pallas import conv_flat as cf
 
         skip_s = (
@@ -563,6 +584,16 @@ class UNetS2DInt8(UNetS2DInference):
         out_s = self._out_scale_of(p, name)
         if out_s is not None:
             q["out_scale"] = out_s
+        if isinstance(up, PF2):
+            assert a_slot_phase is None, "pf2 dual needs slot-even crops"
+            y = cf.conv2x2_dual_pf2(
+                sk.x, up.x, p[f"{name}/wq_a"], p[f"{name}/wq_b"],
+                _tile4(p[f"{name}/b"]), h=up.h, w_real=up.w,
+                s2=up.s2, s2_a=sk.s2, hp_a=sk.x.shape[1] // sk.s2,
+                relu=relu, a_row_off=a_offset[0], a_col_off=a_offset[1],
+                quant=q,
+            )
+            return PF2(y, up.h - 1, up.w - 1, up.s2)
         y = cf.conv2x2_dual_padflat(
             sk.x, up.x, p[f"{name}/wq_a"], p[f"{name}/wq_b"],
             _tile4(p[f"{name}/b"]), h=up.h, w_real=up.w, s=up.s,

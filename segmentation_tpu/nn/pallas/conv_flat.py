@@ -92,6 +92,24 @@ def unpad_rows(xf: jnp.ndarray, s: int, h: int, w: int):
     return xf.reshape(n, hps // s, s, c)[:, :h, :w, :]
 
 
+def pad_pairs(x4: jnp.ndarray, s2: int, hp: Optional[int] = None):
+    """[N, H, W, C] → pf2 [N, HP·S2, 2C]: column pair (2j, 2j+1) becomes
+    one flat row of 2C lanes at pair stride S2 (XLA-side; tests and
+    region entry)."""
+    n, h, w, c = x4.shape
+    hp = hp or h
+    x4 = jnp.pad(x4, ((0, 0), (0, hp - h), (0, 2 * s2 - w), (0, 0)))
+    return x4.reshape(n, hp * s2, 2 * c)
+
+
+def unpad_pairs(xf: jnp.ndarray, s2: int, h: int, w: int):
+    """pf2 [N, HP·S2, 2C] → [N, h, w, C] real window."""
+    n, hps2, c2 = xf.shape
+    hp = hps2 // s2
+    x = xf.reshape(n, hp, 2 * s2, c2 // 2)
+    return x[:, :h, :w, :]
+
+
 def _rolldn(v, d):
     """Shift toward lower flat rows by d: out[k] = v[k + d] (wraps)."""
     return pltpu.roll(v, v.shape[0] - d, 0)
@@ -693,11 +711,15 @@ def matmul_rows_padflat(x, wm, b, *, relu: bool = True,
 
 # ---------------------------------------------------- deconv (packed in)
 def _deconv_packed_padflat_kernel(r_half, s_i, s_o, j_in, relu, out_dtype,
-                                  quant, in_int8, out_int8, *refs):
-    il_e, il_o = refs[:2]        # [S_o, S_i] interleave selectors
-    wsel = refs[2:6]
-    bias = refs[6]
-    k = 7
+                                  pf2_out, quant, in_int8, out_int8,
+                                  *refs):
+    k = 0
+    if not pf2_out:
+        il_e, il_o = refs[:2]    # [S_o, S_i] interleave selectors
+        k = 2
+    wsel = refs[k : k + 4]
+    bias = refs[k + 4]
+    k += 5
     chan_scale = act_inv = out_inv = None
     if quant:
         chan_scale = refs[k]; k += 1
@@ -708,6 +730,7 @@ def _deconv_packed_padflat_kernel(r_half, s_i, s_o, j_in, relu, out_dtype,
     x_ref, out = refs[k], refs[k + 1]
     pref = _INT8_PREF if quant else jnp.float32
     il_dt = jnp.bfloat16 if quant else out_dtype
+    o4 = wsel[0].shape[-1]
     xv = _quant_rows(x_ref[0], act_inv)
     prods = [
         jnp.dot(xv, wsel[si][:], preferred_element_type=pref)
@@ -722,6 +745,16 @@ def _deconv_packed_padflat_kernel(r_half, s_i, s_o, j_in, relu, out_dtype,
         if quant:
             p0 = p0.astype(jnp.float32) * chan_scale[:]
             p1 = p1.astype(jnp.float32) * chan_scale[:]
+        if pf2_out:
+            # pf2 output: out col pair j <- input col j, even/odd in
+            # lane halves — the stride-2 scatter vanishes entirely
+            out[0, r * s_o : (r + 1) * s_o, 0:o4] = _epilogue(
+                p0, bias, relu, out_dtype, None, out_inv
+            )
+            out[0, r * s_o : (r + 1) * s_o, o4 : 2 * o4] = _epilogue(
+                p1, bias, relu, out_dtype, None, out_inv
+            )
+            continue
         y = jnp.dot(il_e[:], p0.astype(il_dt),
                     preferred_element_type=jnp.float32)
         y += jnp.dot(il_o[:], p1.astype(il_dt),
@@ -734,19 +767,24 @@ def _deconv_packed_padflat_kernel(r_half, s_i, s_o, j_in, relu, out_dtype,
 @functools.partial(
     jax.jit,
     static_argnames=("i_in", "j_in", "s_i", "s_out", "relu", "r_block",
-                     "interpret"),
+                     "pf2_out", "interpret"),
 )
 def deconv_packed_padflat(x4, wm, b, *, i_in: int, j_in: int, s_i: int,
                           s_out: Optional[int] = None,
                           relu: bool = True,
                           r_block: Optional[int] = None,
+                          pf2_out: bool = False,
                           quant=None, interpret: bool = False):
     """2×2/2 transposed conv, padded-flat packed input → padded-flat
     packed output: [N, HP·S_i, 4C] @ wm [C, 4O] → [N, (nb·R)·S_o, 4O]
     (real 2·i_in × 2·j_in, S_o = stride of 2·j_in). The slot scatter is
     4 masked-weight dots of the whole input block (no scratch); the
     column interleave stays per-row selection matmuls (stride-2 scatter
-    has no vector form), rows interleave for free via aligned stores."""
+    has no vector form), rows interleave for free via aligned stores.
+
+    ``pf2_out=True`` emits the pf2 layout instead — [N, (nb·R)·S_i, 2·4O]
+    with out column pair j in lane halves — which needs NO interleave at
+    all (out pair j is exactly input col j's even/odd products)."""
     n, hps, c4 = x4.shape
     hp = hps // s_i
     c = c4 // 4
@@ -778,34 +816,425 @@ def deconv_packed_padflat(x4, wm, b, *, i_in: int, j_in: int, s_i: int,
         if out_int8:
             arr, spec = _smem_scalar(1.0 / quant["out_scale"])
             extra_parts.append(arr); extra_specs.append(spec)
-    s_o = s_out or stride_for(2 * j_in, out_dtype)
-    assert s_o >= 2 * j_in, (s_o, j_in)
+    if pf2_out:
+        s_o = s_i  # one flat row per output PAIR = per input column
+        assert s_out is None or s_out == s_i
+    else:
+        s_o = s_out or stride_for(2 * j_in, out_dtype)
+        assert s_o >= 2 * j_in, (s_o, j_in)
     wmt = wm if wm.dtype == jnp.int8 else wm.astype(x4.dtype)
     zeros = jnp.zeros((c4, o4), wmt.dtype)
     wsel = [zeros.at[s * c : (s + 1) * c].set(wmt) for s in range(4)]
-    il_e = np.zeros((s_o, s_i), np.float32)
-    il_e[2 * np.arange(j_in), np.arange(j_in)] = 1.0
-    il_o = np.zeros((s_o, s_i), np.float32)
-    il_o[2 * np.arange(j_in) + 1, np.arange(j_in)] = 1.0
-    parts = [jnp.asarray(il_e, il_dt), jnp.asarray(il_o, il_dt)]
+    parts = []
+    if not pf2_out:
+        il_e = np.zeros((s_o, s_i), np.float32)
+        il_e[2 * np.arange(j_in), np.arange(j_in)] = 1.0
+        il_o = np.zeros((s_o, s_i), np.float32)
+        il_o[2 * np.arange(j_in) + 1, np.arange(j_in)] = 1.0
+        parts = [jnp.asarray(il_e, il_dt), jnp.asarray(il_o, il_dt)]
     parts += wsel + [b.astype(jnp.float32)] + extra_parts
-    in_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 7 + extra_specs)
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.VMEM)] * (5 + 2 * (not pf2_out))
+        + extra_specs
+    )
     in_specs.append(
         pl.BlockSpec((1, r_half * s_i, c4), lambda n_, i: (n_, i, 0),
                      memory_space=pltpu.VMEM)
     )
+    o_lanes = 2 * o4 if pf2_out else o4
     kernel = functools.partial(
         _deconv_packed_padflat_kernel, r_half, s_i, s_o, j_in, relu,
-        out_dtype, *qflags,
+        out_dtype, pf2_out, *qflags,
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, nb * r_block * s_o, o4),
+        out_shape=jax.ShapeDtypeStruct((n, nb * r_block * s_o, o_lanes),
                                        out_dtype),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, r_block * s_o, o4),
+        out_specs=pl.BlockSpec((1, r_block * s_o, o_lanes),
                                lambda n_, i: (n_, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=_interp(interpret),
     )(*parts, x4)
+
+
+# ------------------------------------------------------------ pf2 layout
+# Paired-column padded-flat ("pf2"): level-1 tensors store column pair
+# (2j, 2j+1) as one flat row of 2C lanes (lanes [0:C] = even column,
+# [C:2C] = odd column), at pair stride S2. Rationale: the pool->pair
+# handoff and the deconv's stride-2 column scatter are unvectorizable in
+# plain padflat (Mosaic has no stride-2 sublane ops; the XLA-side pair
+# reshape of the narrow 32-lane pooled tensor measured 6.6 ms at
+# 512$^2$/B=128). In pf2, even/odd outputs are SEPARATE lane halves: the
+# conv is 8 aligned K=C dots (identical FLOPs to the plain layout), the
+# pool emits the paired handoff for free, and the deconv drops its
+# interleave selector matmuls entirely.
+
+
+def _taps_pf2(xm, xn, w00, w01, w10, w11, s2, r_block, pref, c):
+    """Even/odd-column four-tap accumulators on a pf2 block.
+
+    Returns (acc_e, acc_o) valid for output rows 0..R-2 and the patched
+    last-row values (last_e, last_o). Odd column j reads pair j lane-H
+    and pair j+1 lane-L (a roll by one flat row)."""
+    xmL, xmH = xm[:, :c], xm[:, c:]
+    xnL, xnH = xn[:, :c], xn[:, c:]
+
+    def d(a, w):
+        return jnp.dot(a, w, preferred_element_type=pref)
+
+    pe0 = d(xmL, w00) + d(xmH, w01)
+    pe1 = d(xmL, w10) + d(xmH, w11)
+    po0 = d(xmH, w00) + _rolldn(d(xmL, w01), 1)
+    po1 = d(xmH, w10) + _rolldn(d(xmL, w11), 1)
+    acc_e = pe0 + _rolldn(pe1, s2)
+    acc_o = po0 + _rolldn(po1, s2)
+    cut = (r_block - 1) * s2
+    last_e = pe0[cut:] + d(xnL, w10) + d(xnH, w11)
+    last_o = po0[cut:] + d(xnH, w10) + _rolldn(d(xnL, w11), 1)
+    return acc_e, acc_o, last_e, last_o
+
+
+def _store_pf2(out_ref, r_block, s2, o, em, om, el, ol):
+    cut = (r_block - 1) * s2
+    if r_block > 1:
+        out_ref[0, 0:cut, 0:o] = em
+        out_ref[0, 0:cut, o : 2 * o] = om
+    out_ref[0, cut : r_block * s2, 0:o] = el
+    out_ref[0, cut : r_block * s2, o : 2 * o] = ol
+
+
+def _conv2x2_pf2_kernel(r_block, s2, relu, out_dtype, quant, in_int8,
+                        out_int8, has_head, head_only, pool, *refs):
+    w00, w01, w10, w11 = refs[0:4]
+    bias = refs[4]
+    k = 5
+    chan_scale = act_inv = out_inv = None
+    if quant:
+        chan_scale = refs[k]; k += 1
+        if not in_int8:
+            act_inv = refs[k]; k += 1
+        if out_int8:
+            out_inv = refs[k]; k += 1
+    wd = bd = None
+    if has_head:
+        wd = refs[k]; bd = refs[k + 1]; k += 2
+    x_main_ref, x_next_ref = refs[k], refs[k + 1]
+    outs = refs[k + 2 :]
+    pref = _INT8_PREF if quant else jnp.float32
+    c = x_main_ref.shape[-1] // 2
+    o = w00.shape[-1]
+
+    xm = _quant_rows(x_main_ref[0], act_inv)
+    xn = _quant_rows(x_next_ref[0], act_inv)
+    acc_e, acc_o, last_e, last_o = _taps_pf2(
+        xm, xn, w00[:], w01[:], w10[:], w11[:], s2, r_block, pref, c
+    )
+
+    def epi(a):
+        return _epilogue(a, bias, relu, out_dtype, chan_scale, out_inv)
+
+    cut = (r_block - 1) * s2
+    ye_m, yo_m = epi(acc_e[:cut]), epi(acc_o[:cut])
+    ye_l, yo_l = epi(last_e), epi(last_o)
+    oi = 0
+    if not head_only:
+        _store_pf2(outs[oi], r_block, s2, o, ye_m, yo_m, ye_l, yo_l)
+        oi += 1
+    if has_head:
+        def mk_mask(yv):
+            hd = jnp.dot(yv.astype(jnp.bfloat16), wd[:],
+                         preferred_element_type=jnp.float32)
+            return (hd + bd[:] > 0).astype(jnp.uint8)
+
+        _store_pf2(outs[oi], r_block, s2, wd.shape[-1],
+                   mk_mask(ye_m), mk_mask(yo_m),
+                   mk_mask(ye_l), mk_mask(yo_l))
+        oi += 1
+    if pool:
+        pdt = jnp.int8 if out_inv is not None else out_dtype
+        _store_pf2(
+            outs[oi], r_block, s2, o // 4,
+            _pool_slots(ye_m, out_inv).astype(pdt),
+            _pool_slots(yo_m, out_inv).astype(pdt),
+            _pool_slots(ye_l, out_inv).astype(pdt),
+            _pool_slots(yo_l, out_inv).astype(pdt),
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "w_real", "s2", "relu", "r_block", "pool",
+                     "head_only", "interpret"),
+)
+def conv2x2_pf2(x, w, b, *, h: int, w_real: int, s2: int,
+                relu: bool = True, r_block: Optional[int] = None,
+                quant=None, head=None, head_only: bool = False,
+                pool: bool = False, interpret: bool = False):
+    """2×2 VALID conv on a pf2 tensor.
+
+    x: [N, HP·S2, 2C] pf2 (real h rows × w_real packed cols); w:
+    [2, 2, C, O]; b: [O] tiled flat bias. Returns pf2
+    [N, (nb·R)·S2, 2O] (real h-1 × w_real-1), plus optionally the fused
+    uint8 pf2 head mask and/or the fused slot-max pooled tensor — the
+    pool output [N, (nb·R)·S2, O/2] IS the column-paired handoff the
+    next strided entry conv consumes (the whole point of pf2)."""
+    n, hps2, c2 = x.shape
+    hp = hps2 // s2
+    c = c2 // 2
+    o = w.shape[-1]
+    assert c % 128 == 0 and o % 128 == 0, (c, o)
+    assert head is not None or not head_only
+    h_out = h - 1
+    if r_block is None:
+        r_block = _auto_r(h_out)
+    r_block = max(1, min(r_block, h_out))
+    nb = pl.cdiv(h_out, r_block)
+    grid = (n, nb)
+    qparts, qspecs, qflags, cdt, out_dtype = _quant_parts(
+        w, b, quant, x.dtype
+    )
+    assert head is None or not qflags[2], "head needs a float epilogue"
+    wt = qparts[0]
+    parts = [wt[0, 0], wt[0, 1], wt[1, 0], wt[1, 1], qparts[1]]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+    eparts, especs = _q_extras(qparts[1:], qspecs[1:])
+    parts += eparts
+    in_specs += especs
+    if head is not None:
+        wd, bd = head
+        parts += [wd.astype(jnp.bfloat16), bd.astype(jnp.float32)]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+    in_specs += [
+        pl.BlockSpec((1, r_block * s2, c2), lambda n_, i: (n_, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, s2, c2),
+            lambda n_, i: (n_, jnp.minimum(i * r_block + r_block, hp - 1),
+                           0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    out_shapes, out_specs = [], []
+
+    def add_out(lanes, dtype):
+        out_shapes.append(
+            jax.ShapeDtypeStruct((n, nb * r_block * s2, lanes), dtype)
+        )
+        out_specs.append(
+            pl.BlockSpec((1, r_block * s2, lanes),
+                         lambda n_, i: (n_, i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+
+    if not head_only:
+        add_out(2 * o, out_dtype)
+    if head is not None:
+        add_out(2 * head[0].shape[-1], jnp.uint8)
+    if pool:
+        add_out(o // 2, jnp.int8 if qflags[2] else out_dtype)
+    kernel = functools.partial(
+        _conv2x2_pf2_kernel, r_block, s2, relu, out_dtype, *qflags,
+        head is not None, head_only, pool,
+    )
+    res = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shapes),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        interpret=_interp(interpret),
+    )(*parts, x, x)
+    return res if len(res) > 1 else res[0]
+
+
+# -------------------------------------------------------------- pf2 dual
+def _conv2x2_dual_pf2_kernel(
+    r_block, s2, w2_in, relu, out_dtype, co2, phase, n_a, quant,
+    in_int8, out_int8, *refs
+):
+    wa = refs[0:4]
+    wb = refs[4:8]
+    bias = refs[8]
+    k = 9
+    sc_a = sc_b = ai_a = ai_b = out_inv = None
+    if quant:
+        a_inline, b_inline = in_int8
+        sc_a = refs[k]; sc_b = refs[k + 1]; k += 2
+        if a_inline:
+            ai_a = refs[k]; k += 1
+        if b_inline:
+            ai_b = refs[k]; k += 1
+        if out_int8:
+            out_inv = refs[k]; k += 1
+    rows_a = refs[k : k + n_a]
+    xb_main_ref, xb_next_ref = refs[k + n_a], refs[k + n_a + 1]
+    out = refs[k + n_a + 2]
+    xs = refs[k + n_a + 3]  # A-side pf2 scratch [(R+1)·S2, 2C]
+    pref = _INT8_PREF if quant else jnp.float32
+    c = xb_main_ref.shape[-1] // 2
+    o = wa[0].shape[-1]
+
+    # ---- A side (skip, cropped in pair space) ------------------------
+    for j in range(r_block + 1):
+        row = rows_a[j][0]
+        if phase == 0:
+            xs[j * s2 : j * s2 + w2_in, :] = _quant_rows(
+                row[co2 : co2 + w2_in, :], ai_a
+            )
+        else:
+            # odd column offset: even output cols read pair lane-H at
+            # co2, odd cols read pair lane-L at co2+1
+            xs[j * s2 : j * s2 + w2_in, 0:c] = _quant_rows(
+                row[co2 : co2 + w2_in, c : 2 * c], ai_a
+            )
+            xs[j * s2 : j * s2 + w2_in, c : 2 * c] = _quant_rows(
+                row[co2 + 1 : co2 + 1 + w2_in, 0:c], ai_a
+            )
+    xa = xs[:]
+    xaL, xaH = xa[:, :c], xa[:, c:]
+
+    def d(a, w):
+        return jnp.dot(a, w[:], preferred_element_type=pref)
+
+    pe0 = d(xaL, wa[0]) + d(xaH, wa[1])
+    pe1 = d(xaL, wa[2]) + d(xaH, wa[3])
+    po0 = d(xaH, wa[0]) + _rolldn(d(xaL, wa[1]), 1)
+    po1 = d(xaH, wa[2]) + _rolldn(d(xaL, wa[3]), 1)
+    cut = r_block * s2
+    acc_ae = (pe0 + _rolldn(pe1, s2))[:cut]
+    acc_ao = (po0 + _rolldn(po1, s2))[:cut]
+
+    # ---- B side (up): direct pf2 block -------------------------------
+    xbm = _quant_rows(xb_main_ref[0], ai_b)
+    xbn = _quant_rows(xb_next_ref[0], ai_b)
+    acc_be, acc_bo, last_be, last_bo = _taps_pf2(
+        xbm, xbn, wb[0][:], wb[1][:], wb[2][:], wb[3][:], s2, r_block,
+        pref, c,
+    )
+
+    if quant:
+        def mix(a, bv):
+            return (a.astype(jnp.float32) * sc_a[:]
+                    + bv.astype(jnp.float32) * sc_b[:])
+    else:
+        def mix(a, bv):
+            return a + bv
+
+    def epi(a):
+        return _epilogue(a, bias, relu, out_dtype, None, out_inv)
+
+    m = (r_block - 1) * s2
+    _store_pf2(
+        out, r_block, s2, o,
+        epi(mix(acc_ae[:m], acc_be[:m])),
+        epi(mix(acc_ao[:m], acc_bo[:m])),
+        epi(mix(acc_ae[m:], last_be)),
+        epi(mix(acc_ao[m:], last_bo)),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "w_real", "s2", "s2_a", "hp_a", "relu",
+                     "r_block", "a_row_off", "a_col_off", "interpret"),
+)
+def conv2x2_dual_pf2(xa, xb, wa, wb, b, *, h: int, w_real: int, s2: int,
+                     s2_a: int, hp_a: int, relu: bool = True,
+                     r_block: Optional[int] = None,
+                     a_row_off: int = 0, a_col_off: int = 0,
+                     quant=None, interpret: bool = False):
+    """conv2x2(crop(xa), wa) + conv2x2(xb, wb) + b on pf2 tensors.
+
+    xb [N, HP·S2, 2C] (pf2 up side) sets the output geometry (real
+    h × w_real packed cols); xa [N, HPA·S2A, 2C] is the pf2 skip, read
+    through the slot-even center-crop offset (a_row_off packed rows,
+    a_col_off packed cols — pair offset a_col_off//2 with lane-phase
+    a_col_off%2 riding the scratch fill). Output pf2
+    [N, (nb·R)·S2, 2O]."""
+    n, hps2, c2 = xb.shape
+    assert xa.shape[0] == n and xa.shape[2] == c2, (xa.shape, xb.shape)
+    c = c2 // 2
+    o = wa.shape[-1]
+    assert c % 128 == 0 and o % 128 == 0, (c, o)
+    hp = hps2 // s2
+    h_out = h - 1
+    w2_in = w_real // 2 + 1
+    co2, phase = a_col_off // 2, a_col_off % 2
+    assert co2 + phase + w2_in <= s2_a, (co2, w2_in, s2_a)
+    if r_block is None:
+        r_block = _auto_r(h_out)
+    r_block = max(1, min(r_block, h_out))
+    nb = pl.cdiv(h_out, r_block)
+    grid = (n, nb)
+    if quant is None:
+        wta, wtb = wa.astype(xb.dtype), wb.astype(xb.dtype)
+        qflags = (False, False, False)
+        cdt, out_dtype = xb.dtype, xb.dtype
+        extra_parts, extra_specs = [], []
+    else:
+        wta, wtb = wa, wb
+        a_inline = quant.get("act_scale_a") is not None
+        b_inline = quant.get("act_scale_b") is not None
+        out_int8 = quant.get("out_scale") is not None
+        qflags = (True, (a_inline, b_inline), out_int8)
+        cdt = jnp.int8
+        out_dtype = jnp.int8 if out_int8 else (
+            jnp.bfloat16 if xb.dtype == jnp.int8 else xb.dtype
+        )
+        extra_parts = [
+            jnp.asarray(quant["chan_scale_a"], jnp.float32),
+            jnp.asarray(quant["chan_scale_b"], jnp.float32),
+        ]
+        extra_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        for key, on in (("act_scale_a", a_inline),
+                        ("act_scale_b", b_inline)):
+            if on:
+                arr, spec = _smem_scalar(1.0 / quant[key])
+                extra_parts.append(arr); extra_specs.append(spec)
+        if out_int8:
+            arr, spec = _smem_scalar(1.0 / quant["out_scale"])
+            extra_parts.append(arr); extra_specs.append(spec)
+    parts = [wta[0, 0], wta[0, 1], wta[1, 0], wta[1, 1],
+             wtb[0, 0], wtb[0, 1], wtb[1, 0], wtb[1, 1],
+             b.astype(jnp.float32)] + extra_parts
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 9 + extra_specs)
+
+    def mk_a(u):
+        return pl.BlockSpec(
+            (1, s2_a, c2),
+            lambda n_, i, u=u: (
+                n_, jnp.minimum(i * r_block + u + a_row_off, hp_a - 1), 0
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    n_a = r_block + 1
+    in_specs += [mk_a(u) for u in range(n_a)]
+    in_specs += [
+        pl.BlockSpec((1, r_block * s2, c2), lambda n_, i: (n_, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, s2, c2),
+            lambda n_, i: (n_, jnp.minimum(i * r_block + r_block, hp - 1),
+                           0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    kernel = functools.partial(
+        _conv2x2_dual_pf2_kernel, r_block, s2, w2_in, relu, out_dtype,
+        co2, phase, n_a, *qflags,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, nb * r_block * s2, 2 * o),
+                                       out_dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, r_block * s2, 2 * o),
+                               lambda n_, i: (n_, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM(((r_block + 1) * s2, c2), cdt)],
+        interpret=_interp(interpret),
+    )(*parts, *([xa] * n_a), xb, xb)

@@ -298,3 +298,153 @@ def test_deconv_packed_padflat_parity(np_rng, quantized):
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=1e-3, atol=0.05,
     )
+
+
+# ------------------------------------------------------------- pf2 layout
+def _pf2_in(np_rng, shape, dtype=jnp.float32):
+    from segmentation_tpu.nn.pallas.conv_flat import pad_pairs
+
+    x = jnp.asarray(np_rng.normal(size=shape), jnp.float32)
+    if dtype == jnp.int8:
+        x = jnp.clip(jnp.round(x * 40), -127, 127).astype(jnp.int8)
+    else:
+        x = x.astype(dtype)
+    s2 = stride_for((shape[2] + 1) // 2, dtype)
+    return x, pad_pairs(x, s2), s2
+
+
+@pytest.mark.parametrize("h,w_in,c,o", [
+    (21, 23, 128, 128),
+    (16, 16, 128, 256),
+])
+@pytest.mark.parametrize("relu", [True, False])
+def test_conv2x2_pf2_parity(np_rng, h, w_in, c, o, relu):
+    from segmentation_tpu.nn.pallas.conv_flat import (
+        conv2x2_pf2, unpad_pairs,
+    )
+
+    x, xf, s2 = _pf2_in(np_rng, (2, h, w_in, c))
+    w = jnp.asarray(np_rng.normal(size=(2, 2, c, o)) * 0.05, jnp.float32)
+    b = jnp.asarray(np_rng.normal(size=(o,)), jnp.float32)
+    got = conv2x2_pf2(xf, w, b, h=h, w_real=w_in, s2=s2, relu=relu,
+                      r_block=4, interpret=True)
+    got = unpad_pairs(got, s2, h - 1, w_in - 1)
+    want = _oracle_conv(x, w, b, (1, 1), relu)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv2x2_pf2_pool_int8(np_rng):
+    """int8-resident pf2 conv+pool: the pooled output IS the paired
+    handoff (lane halves = even/odd column pools)."""
+    from segmentation_tpu.nn.pallas.conv_flat import (
+        conv2x2_pf2, unpad_pairs,
+    )
+
+    h, w_in, c, o = 15, 19, 128, 128
+    x, xf, s2 = _pf2_in(np_rng, (2, h, w_in, c), jnp.int8)
+    wq = jnp.clip(
+        jnp.round(jnp.asarray(np_rng.normal(size=(2, 2, c, o)), jnp.float32)
+                  * 20), -127, 127,
+    ).astype(jnp.int8)
+    b = jnp.asarray(np_rng.normal(size=(o,)), jnp.float32)
+    q = {"chan_scale": jnp.full((o,), 0.02 * 0.025, jnp.float32),
+         "out_scale": 0.05}
+    y8, p8 = conv2x2_pf2(xf, wq, b, h=h, w_real=w_in, s2=s2,
+                         r_block=4, pool=True, quant=q, interpret=True)
+    xi = x.astype(jnp.float32) * 0.025
+    wf = wq.astype(jnp.float32) * 0.02
+    want = _oracle_conv(xi, wf, b, (1, 1), True)
+    want8 = jnp.clip(jnp.round(want / 0.05), -127, 127)
+    got = unpad_pairs(y8, s2, h - 1, w_in - 1).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want8),
+                               atol=1.01)
+    # pool = slot-max over the 4 lane groups, then requant
+    wantp = jnp.max(
+        want.reshape(*want.shape[:-1], 4, o // 4), axis=-2
+    )
+    wantp8 = jnp.clip(jnp.round(wantp / 0.05), -127, 127)
+    gotp = unpad_pairs(p8, s2, h - 1, w_in - 1).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(gotp), np.asarray(wantp8),
+                               atol=1.01)
+
+
+def test_conv2x2_pf2_head_only(np_rng):
+    from segmentation_tpu.nn.pallas.conv_flat import (
+        conv2x2_pf2, unpad_pairs,
+    )
+
+    h, w_in, c = 13, 17, 128
+    x, xf, s2 = _pf2_in(np_rng, (1, h, w_in, c))
+    w = jnp.asarray(np_rng.normal(size=(2, 2, c, c)) * 0.05, jnp.float32)
+    b = jnp.asarray(np_rng.normal(size=(c,)), jnp.float32)
+    wd = jnp.asarray(np_rng.normal(size=(c, 4)), jnp.float32)
+    bd = jnp.asarray(np_rng.normal(size=(4,)), jnp.float32)
+    mask = conv2x2_pf2(xf, w, b, h=h, w_real=w_in, s2=s2, r_block=4,
+                       head=(wd, bd), head_only=True, interpret=True)
+    y = _oracle_conv(x, w, b, (1, 1), True)
+    want = (jnp.einsum(
+        "nhwc,cs->nhws", y.astype(jnp.bfloat16).astype(jnp.float32),
+        wd.astype(jnp.bfloat16).astype(jnp.float32)) + bd > 0
+    ).astype(jnp.uint8)
+    got = unpad_pairs(mask, s2, h - 1, w_in - 1)
+    assert (np.asarray(got) == np.asarray(want)).mean() > 0.995
+
+
+@pytest.mark.parametrize("col_off", [4, 7])
+def test_conv2x2_dual_pf2_parity(np_rng, col_off):
+    """Dual pf2 conv with the pair-space crop fold (even + odd column
+    offsets = lane-phase)."""
+    from segmentation_tpu.nn.pallas.conv_flat import (
+        conv2x2_dual_pf2, pad_pairs, unpad_pairs,
+    )
+
+    hb, wb_, c, o = 11, 13, 128, 128
+    ro = 3
+    ha, wa_ = hb + 8, wb_ + 12
+    xa = jnp.asarray(np_rng.normal(size=(2, ha, wa_, c)), jnp.float32)
+    xb = jnp.asarray(np_rng.normal(size=(2, hb, wb_, c)), jnp.float32)
+    wa = jnp.asarray(np_rng.normal(size=(2, 2, c, o)) * 0.05, jnp.float32)
+    wb = jnp.asarray(np_rng.normal(size=(2, 2, c, o)) * 0.05, jnp.float32)
+    b = jnp.asarray(np_rng.normal(size=(o,)), jnp.float32)
+    s2a = stride_for((wa_ + 2) // 2, jnp.float32)
+    s2b = stride_for((wb_ + 1) // 2, jnp.float32)
+    got = conv2x2_dual_pf2(
+        pad_pairs(xa, s2a), pad_pairs(xb, s2b), wa, wb, b,
+        h=hb, w_real=wb_, s2=s2b, s2_a=s2a,
+        hp_a=ha, a_row_off=ro, a_col_off=col_off,
+        r_block=4, interpret=True,
+    )
+    got = unpad_pairs(got, s2b, hb - 1, wb_ - 1)
+    crop = xa[:, ro : ro + hb, col_off : col_off + wb_, :]
+    want = jax.nn.relu(
+        _oracle_conv(crop, wa, jnp.zeros_like(b), (1, 1), False)
+        + _oracle_conv(xb, wb, jnp.zeros_like(b), (1, 1), False) + b
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_deconv_pf2_out_parity(np_rng):
+    from segmentation_tpu.models.unet_fast import deconv2_packed_in_flat
+    from segmentation_tpu.nn.pallas.conv_flat import (
+        deconv_packed_padflat, unpad_pairs,
+    )
+
+    i_in, j_in, c, o = 9, 11, 64, 32
+    x = jnp.asarray(np_rng.normal(size=(2, i_in, j_in, 4 * c)),
+                    jnp.float32)
+    wm = jnp.asarray(np_rng.normal(size=(c, 4 * o)) * 0.05, jnp.float32)
+    b = jnp.asarray(np_rng.normal(size=(o,)), jnp.float32)
+    want = deconv2_packed_in_flat(x, wm, b, o, pallas=False)
+    s_i = stride_for(j_in, jnp.float32)
+    xf = pad_rows(x, s_i)
+    got = deconv_packed_padflat(
+        xf, wm, jnp.tile(b, 4), i_in=i_in, j_in=j_in, s_i=s_i,
+        r_block=4, pf2_out=True, interpret=True,
+    )
+    got = unpad_pairs(got, s_i, 2 * i_in, 2 * j_in)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=1e-3, atol=1e-3,
+    )

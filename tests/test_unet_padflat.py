@@ -19,32 +19,37 @@ from segmentation_tpu.core.config import ModelConfig
 from segmentation_tpu.models.unet import UNet
 from segmentation_tpu.nn import module as hk
 
+# 204: plain padflat everywhere (the pf2 gate declines: w1=101 needs a
+# 27-column stride pad). 244: w1=121 is odd with a 7-column pad, so
+# level 1 runs the paired-column PF2 layout.
 HW = (204, 204)
+HW_PF2 = (244, 244)
 
 
-def _params(k=32, seed=0, nc=2):
-    mcfg = ModelConfig(n_classes=nc, input_dims=HW, n_kernels=k)
+def _params(k=32, seed=0, nc=2, hw=HW):
+    mcfg = ModelConfig(n_classes=nc, input_dims=hw, n_kernels=k)
     model = UNet(mcfg, levels=4)
     fwd = hk.transform(lambda x: model(x))
-    x = jnp.zeros((1, *HW, 3))
+    x = jnp.zeros((1, *hw, 3))
     params, _ = fwd.init(jax.random.PRNGKey(seed), x, train=False)
     return mcfg, params
 
 
-def _input(seed=1, b=1):
+def _input(seed=1, b=1, hw=HW):
     rng = np.random.default_rng(seed)
     return jnp.asarray(
-        rng.normal(0.5, 0.25, (b, *HW, 3)).astype(np.float32)
+        rng.normal(0.5, 0.25, (b, *hw, 3)).astype(np.float32)
     )
 
 
-def test_padflat_bf16_parity(monkeypatch):
+@pytest.mark.parametrize("hw", [HW, HW_PF2])
+def test_padflat_bf16_parity(monkeypatch, hw):
     """padflat region == XLA s2d oracle (float32, exact-ish)."""
     from segmentation_tpu.models.unet_fast import UNetS2DInference
 
     monkeypatch.setenv("SEG_PALLAS_INTERPRET", "1")
-    mcfg, params = _params()
-    x = _input()
+    mcfg, params = _params(hw=hw)
+    x = _input(hw=hw)
     oracle = UNetS2DInference(mcfg, allow_pallas=False, padflat=False)
     pf = UNetS2DInference(mcfg, padflat=True)
     prepared = oracle.prepare(params)
@@ -62,15 +67,16 @@ def test_padflat_bf16_parity(monkeypatch):
     assert agree > 0.999, agree
 
 
-def test_padflat_int8_parity(monkeypatch):
+@pytest.mark.parametrize("hw", [HW, HW_PF2])
+def test_padflat_int8_parity(monkeypatch, hw):
     """padflat int8-resident region tracks the 4-D int8 path closely and
     the float oracle within the PTQ tolerance."""
     from segmentation_tpu.models.unet_int8 import UNetS2DInt8
 
     monkeypatch.setenv("SEG_PALLAS_INTERPRET", "1")
-    mcfg, params = _params()
-    x = _input(2)
-    calib = [_input(3), _input(4)]
+    mcfg, params = _params(hw=hw)
+    x = _input(2, hw=hw)
+    calib = [_input(3, hw=hw), _input(4, hw=hw)]
 
     q_old = UNetS2DInt8(mcfg, padflat=False)
     prepared = q_old.prepare(params, calib_batches=calib)
@@ -78,6 +84,7 @@ def test_padflat_int8_parity(monkeypatch):
 
     q_pf = UNetS2DInt8(mcfg, padflat=True)
     assert q_pf._pf_supported(prepared, x)
+    assert q_pf._pf2_ok(x) == (hw == HW_PF2)
     got = q_pf.apply(prepared, x)
     assert got.shape == want.shape
     mask_agree = (np.argmax(np.asarray(got), -1)
@@ -90,16 +97,17 @@ def test_padflat_int8_parity(monkeypatch):
     assert corr > 0.995, corr
 
 
-def test_padflat_int8_apply_argmax_head_fold(monkeypatch):
+@pytest.mark.parametrize("hw", [HW, HW_PF2])
+def test_padflat_int8_apply_argmax_head_fold(monkeypatch, hw):
     """apply_argmax rides the padflat head fold (mask-only kernel) and
     matches argmax(apply(...))."""
     from segmentation_tpu.models.unet_int8 import UNetS2DInt8
 
     monkeypatch.setenv("SEG_PALLAS_INTERPRET", "1")
-    mcfg, params = _params()
-    x = _input(5)
+    mcfg, params = _params(hw=hw)
+    x = _input(5, hw=hw)
     q = UNetS2DInt8(mcfg, padflat=True)
-    prepared = q.prepare(params, calib_batches=[_input(6)])
+    prepared = q.prepare(params, calib_batches=[_input(6, hw=hw)])
     ref = np.asarray(jnp.argmax(q.apply(prepared, x), -1))
     got = np.asarray(q.apply_argmax(prepared, x))
     assert got.shape == ref.shape
