@@ -127,13 +127,45 @@ def main(batch=128, reps=10):
     print("compiling padflat...", flush=True)
     timeit("int8/padflat", f_pf)
 
+    # batch sweep on the padflat path (serving has no optimizer state;
+    # bigger batches amortize the fixed per-step overheads)
+    for bs in (160, 192, 256):
+        try:
+            xb = jax.jit(
+                lambda k, bs=bs: jax.random.uniform(
+                    k, (bs, 512, 512, 3), jnp.bfloat16
+                )
+            )(jax.random.PRNGKey(1))
+            xb.block_until_ready()
+            out = f_pf(xb)
+            out.block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = f_pf(xb)
+            float(out.sum())
+            dt = (time.perf_counter() - t0) / reps
+            print(f"int8/padflat B={bs:4d} {dt * 1e3:7.2f} ms  "
+                  f"{bs / dt:7.1f} img/s", flush=True)
+            del xb, out
+        except Exception as e:  # noqa: BLE001
+            print(f"int8/padflat B={bs}: FAILED {str(e)[:120]}",
+                  flush=True)
+
+    # bf16 padflat (fresh-ish; the pf2 layout is dtype-generic)
+    from segmentation_tpu.models.unet_fast import UNetS2DInference
+
+    pfb = UNetS2DInference(mcfg, padflat=True)
+    f_b = jax.jit(lambda xx: pfb.apply_argmax(prep, xx))
+    print("compiling bf16/padflat...", flush=True)
+    timeit("bf16/padflat", f_b)
+
     # then the old path in the same process (mirrors int8_e2e ordering
     # effects in reverse)
     f_old = jax.jit(lambda xx: q0.apply_argmax(prep, xx))
     print("compiling old...", flush=True)
     timeit("int8/old", f_old)
 
-    # padflat again (now with the old executable resident)
+    # padflat again (now with other executables resident)
     timeit("int8/padflat#2", f_pf)
     print("DONE", flush=True)
 

@@ -708,13 +708,14 @@ class UNetS2DInference:
     # Pallas conv kernels for the packed sites (inference-only: no VJP).
     # UNetS2D (the trainable wrapper) sets this False.
     allow_pallas: bool = True
-    # Padded-flat packed region (conv_flat kernels; see PadFlat). True
-    # engages it whenever the geometry supports it. Default OFF: measured
-    # device time is at parity with the 4-D kernels (the per-kernel wins
-    # are offset by the region-boundary copies) and the dispatch path has
-    # an unexplained wall overhead — see benchmarks/profile_s2d_attr.py
-    # int8pf mode. Flip once it wins end-to-end.
-    padflat: bool = False
+    # Padded-flat packed region (conv_flat kernels; see PadFlat/PF2).
+    # Default ON — with the pf2 level-1 layout it wins end-to-end for
+    # both dtypes at 512²/B=128 (int8 59.5 vs 67.9 ms on the 4-D
+    # kernels; bf16 82.2 vs 84.9 XLA; fresh-process, benchmarks/
+    # padflat_wall.py). The _pf_supported gate falls back to the 4-D
+    # path off-TPU, for unsupported geometry, under dropout, and during
+    # calibration.
+    padflat: bool = True
 
     @property
     def packed_levels(self) -> int:
@@ -876,6 +877,7 @@ class UNetS2DInference:
             y, pooled = cf.conv2x2_pf2(
                 pf.x, p[f"{name}/w2"], tile_bias4(p[f"{name}/b"]),
                 h=pf.h, w_real=pf.w, s2=pf.s2, relu=relu, pool=True,
+                r_block=32 if pf.h > 64 else None,
             )
             # the pooled pf2 tensor IS the column-paired PadFlat handoff
             return (PF2(y, pf.h - 1, pf.w - 1, pf.s2),

@@ -513,7 +513,7 @@ class UNetS2DInt8(UNetS2DInference):
             y, pooled = cf.conv2x2_pf2(
                 pf.x, p[f"{name}/wq"], _tile4(p[f"{name}/b"]),
                 h=pf.h, w_real=pf.w, s2=pf.s2, relu=relu, pool=True,
-                quant=q,
+                r_block=32 if pf.h > 64 else None, quant=q,
             )
             return (PF2(y, pf.h - 1, pf.w - 1, pf.s2),
                     PadFlat(pooled, pf.h - 1, (pf.w - 1) // 2, pf.s2))
