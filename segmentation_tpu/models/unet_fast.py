@@ -460,33 +460,41 @@ def _pool4_max_flat(x4):
 
 @jax.custom_vjp
 def pool4_select(x4):
-    """2×2/2 max-pool of a FLAT packed tensor with a SELECT-based custom
+    """2×2/2 max-pool of a FLAT packed tensor with an ARGMAX-INDEX custom
     VJP. The default reduce-formulated pool's backward materializes 5-D
-    mask buffers and a ~23 ms scatter chain at 512²/B=128 (round-2
-    profile); this version stays flat 4-D end-to-end: the backward
-    recomputes the max (cheap), routes the cotangent to the FIRST slot
-    attaining it (a valid subgradient; deterministic tie-break), and
-    emits the [.., 4C] cotangent as one concat of four selects. Only x4
-    is saved — no pooled residual, which is what frees the B=192
-    activation budget."""
+    mask buffers and a ~23 ms scatter chain at 512²/B=128; the round-3
+    select-VJP (save x4, recompute the max, cumulative first-hit masks)
+    still cost ~30 ms/step in and/select fusions. This version computes
+    the winning slot index IN THE FORWARD (3 compare/selects, int8) and
+    saves ONLY that [.., C] index plane — the backward is four
+    ``where(idx == s, g, 0)`` selects and one concat. Same deterministic
+    tie-break (first slot attaining the max), 8× smaller residual than
+    saving x4 (the buffer that blocked B≥160 compiles)."""
     return _pool4_max_flat(x4)
 
 
-def _pool4_fwd(x4):
-    return _pool4_max_flat(x4), x4
-
-
-def _pool4_bwd(x4, g):
+def _pool4_argmax(x4):
     c = x4.shape[-1] // 4
-    y = _pool4_max_flat(x4)
-    taken = None
-    parts = []
-    for si in range(4):
+    y = x4[..., 0:c]
+    idx = jnp.zeros(y.shape, jnp.int8)
+    for si in range(1, 4):
         sl = x4[..., si * c : (si + 1) * c]
-        hit = sl >= y
-        m = hit if taken is None else (hit & ~taken)
-        taken = hit if taken is None else (taken | hit)
-        parts.append(jnp.where(m, g, jnp.zeros_like(g)))
+        win = sl > y
+        y = jnp.maximum(y, sl)
+        idx = jnp.where(win, jnp.int8(si), idx)
+    return y, idx
+
+
+def _pool4_fwd(x4):
+    y, idx = _pool4_argmax(x4)
+    return y, idx
+
+
+def _pool4_bwd(idx, g):
+    zero = jnp.zeros_like(g)
+    parts = [
+        jnp.where(idx == jnp.int8(si), g, zero) for si in range(4)
+    ]
     return (jnp.concatenate(parts, axis=-1),)
 
 

@@ -896,6 +896,30 @@ def _taps_pf2(xm, xn, w00, w01, w10, w11, s2, r_block, pref, c):
     return acc_e, acc_o, last_e, last_o
 
 
+def _taps_pf2_stacked(xm, xn, ws, s2, r_block, c):
+    """int8 variant of _taps_pf2 with the row taps STACKED into the
+    contraction: ws = [w00; w01; w10; w11] as one [4C, O] operand, so
+    each parity is ONE K=4C dot — at C=128 that is K=512, which runs
+    the MXU at the 2× int8 rate (K=128 dots only get the bf16 rate).
+    Same FLOPs, half the MXU time; the stacking itself is lane concats
+    + sublane rolls of the in-VMEM block (VPU, no extra HBM)."""
+    def d(a, w):
+        return jnp.dot(a, w, preferred_element_type=jnp.int32)
+
+    # lane order of each z: [this column's lanes, the w01-tap lanes];
+    # stacking z with its next-row roll matches ws' [w00;w01;w10;w11].
+    z_e = xm
+    z_o = jnp.concatenate([xm[:, c:], _rolldn(xm[:, :c], 1)], axis=1)
+    acc_e = d(jnp.concatenate([z_e, _rolldn(z_e, s2)], axis=1), ws[:])
+    acc_o = d(jnp.concatenate([z_o, _rolldn(z_o, s2)], axis=1), ws[:])
+    cut = (r_block - 1) * s2
+    zn_o = jnp.concatenate([xn[:, c:], _rolldn(xn[:, :c], 1)], axis=1)
+    w_lo, w_hi = ws[0 : 2 * c], ws[2 * c : 4 * c]
+    last_e = d(z_e[cut:], w_lo) + d(xn, w_hi)
+    last_o = d(z_o[cut:], w_lo) + d(zn_o, w_hi)
+    return acc_e, acc_o, last_e, last_o
+
+
 def _store_pf2(out_ref, r_block, s2, o, em, om, el, ol):
     cut = (r_block - 1) * s2
     if r_block > 1:
@@ -907,9 +931,15 @@ def _store_pf2(out_ref, r_block, s2, o, em, om, el, ol):
 
 def _conv2x2_pf2_kernel(r_block, s2, relu, out_dtype, quant, in_int8,
                         out_int8, has_head, head_only, pool, *refs):
-    w00, w01, w10, w11 = refs[0:4]
-    bias = refs[4]
-    k = 5
+    if quant:  # stacked-K weights: one [4C, O] operand
+        ws, bias = refs[0], refs[1]
+        k = 2
+        o = ws.shape[-1]
+    else:
+        w00, w01, w10, w11 = refs[0:4]
+        bias = refs[4]
+        k = 5
+        o = w00.shape[-1]
     chan_scale = act_inv = out_inv = None
     if quant:
         chan_scale = refs[k]; k += 1
@@ -922,15 +952,19 @@ def _conv2x2_pf2_kernel(r_block, s2, relu, out_dtype, quant, in_int8,
         wd = refs[k]; bd = refs[k + 1]; k += 2
     x_main_ref, x_next_ref = refs[k], refs[k + 1]
     outs = refs[k + 2 :]
-    pref = _INT8_PREF if quant else jnp.float32
     c = x_main_ref.shape[-1] // 2
-    o = w00.shape[-1]
 
     xm = _quant_rows(x_main_ref[0], act_inv)
     xn = _quant_rows(x_next_ref[0], act_inv)
-    acc_e, acc_o, last_e, last_o = _taps_pf2(
-        xm, xn, w00[:], w01[:], w10[:], w11[:], s2, r_block, pref, c
-    )
+    if quant:
+        acc_e, acc_o, last_e, last_o = _taps_pf2_stacked(
+            xm, xn, ws, s2, r_block, c
+        )
+    else:
+        acc_e, acc_o, last_e, last_o = _taps_pf2(
+            xm, xn, w00[:], w01[:], w10[:], w11[:], s2, r_block,
+            jnp.float32, c,
+        )
 
     def epi(a):
         return _epilogue(a, bias, relu, out_dtype, chan_scale, out_inv)
@@ -997,8 +1031,17 @@ def conv2x2_pf2(x, w, b, *, h: int, w_real: int, s2: int,
     )
     assert head is None or not qflags[2], "head needs a float epilogue"
     wt = qparts[0]
-    parts = [wt[0, 0], wt[0, 1], wt[1, 0], wt[1, 1], qparts[1]]
-    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+    if qflags[0]:
+        # stacked-K int8 weights: [w00; w01; w10; w11] as one [4C, O]
+        # operand (see _taps_pf2_stacked)
+        parts = [
+            jnp.concatenate([wt[0, 0], wt[0, 1], wt[1, 0], wt[1, 1]],
+                            axis=0),
+            qparts[1],
+        ]
+    else:
+        parts = [wt[0, 0], wt[0, 1], wt[1, 0], wt[1, 1], qparts[1]]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(parts)
     eparts, especs = _q_extras(qparts[1:], qspecs[1:])
     parts += eparts
     in_specs += especs
@@ -1054,10 +1097,14 @@ def _conv2x2_dual_pf2_kernel(
     r_block, s2, w2_in, relu, out_dtype, co2, phase, n_a, quant,
     in_int8, out_int8, *refs
 ):
-    wa = refs[0:4]
-    wb = refs[4:8]
-    bias = refs[8]
-    k = 9
+    if quant:  # stacked-K weights, one [4C, O] operand per side
+        ws_a, ws_b, bias = refs[0], refs[1], refs[2]
+        k = 3
+    else:
+        wa = refs[0:4]
+        wb = refs[4:8]
+        bias = refs[8]
+        k = 9
     sc_a = sc_b = ai_a = ai_b = out_inv = None
     if quant:
         a_inline, b_inline = in_int8
@@ -1074,7 +1121,7 @@ def _conv2x2_dual_pf2_kernel(
     xs = refs[k + n_a + 3]  # A-side pf2 scratch [(R+1)·S2, 2C]
     pref = _INT8_PREF if quant else jnp.float32
     c = xb_main_ref.shape[-1] // 2
-    o = wa[0].shape[-1]
+    o = ws_a.shape[-1] if quant else wa[0].shape[-1]
 
     # ---- A side (skip, cropped in pair space) ------------------------
     for j in range(r_block + 1):
@@ -1093,26 +1140,44 @@ def _conv2x2_dual_pf2_kernel(
                 row[co2 + 1 : co2 + 1 + w2_in, 0:c], ai_a
             )
     xa = xs[:]
-    xaL, xaH = xa[:, :c], xa[:, c:]
-
-    def d(a, w):
-        return jnp.dot(a, w[:], preferred_element_type=pref)
-
-    pe0 = d(xaL, wa[0]) + d(xaH, wa[1])
-    pe1 = d(xaL, wa[2]) + d(xaH, wa[3])
-    po0 = d(xaH, wa[0]) + _rolldn(d(xaL, wa[1]), 1)
-    po1 = d(xaH, wa[2]) + _rolldn(d(xaL, wa[3]), 1)
     cut = r_block * s2
-    acc_ae = (pe0 + _rolldn(pe1, s2))[:cut]
-    acc_ao = (po0 + _rolldn(po1, s2))[:cut]
+    if quant:
+        za_e = xa
+        za_o = jnp.concatenate([xa[:, c:], _rolldn(xa[:, :c], 1)],
+                               axis=1)
+        acc_ae = jnp.dot(
+            jnp.concatenate([za_e, _rolldn(za_e, s2)], axis=1), ws_a[:],
+            preferred_element_type=jnp.int32,
+        )[:cut]
+        acc_ao = jnp.dot(
+            jnp.concatenate([za_o, _rolldn(za_o, s2)], axis=1), ws_a[:],
+            preferred_element_type=jnp.int32,
+        )[:cut]
+    else:
+        xaL, xaH = xa[:, :c], xa[:, c:]
+
+        def d(a, w):
+            return jnp.dot(a, w[:], preferred_element_type=pref)
+
+        pe0 = d(xaL, wa[0]) + d(xaH, wa[1])
+        pe1 = d(xaL, wa[2]) + d(xaH, wa[3])
+        po0 = d(xaH, wa[0]) + _rolldn(d(xaL, wa[1]), 1)
+        po1 = d(xaH, wa[2]) + _rolldn(d(xaL, wa[3]), 1)
+        acc_ae = (pe0 + _rolldn(pe1, s2))[:cut]
+        acc_ao = (po0 + _rolldn(po1, s2))[:cut]
 
     # ---- B side (up): direct pf2 block -------------------------------
     xbm = _quant_rows(xb_main_ref[0], ai_b)
     xbn = _quant_rows(xb_next_ref[0], ai_b)
-    acc_be, acc_bo, last_be, last_bo = _taps_pf2(
-        xbm, xbn, wb[0][:], wb[1][:], wb[2][:], wb[3][:], s2, r_block,
-        pref, c,
-    )
+    if quant:
+        acc_be, acc_bo, last_be, last_bo = _taps_pf2_stacked(
+            xbm, xbn, ws_b, s2, r_block, c
+        )
+    else:
+        acc_be, acc_bo, last_be, last_bo = _taps_pf2(
+            xbm, xbn, wb[0][:], wb[1][:], wb[2][:], wb[3][:], s2,
+            r_block, pref, c,
+        )
 
     if quant:
         def mix(a, bv):
@@ -1196,10 +1261,18 @@ def conv2x2_dual_pf2(xa, xb, wa, wb, b, *, h: int, w_real: int, s2: int,
         if out_int8:
             arr, spec = _smem_scalar(1.0 / quant["out_scale"])
             extra_parts.append(arr); extra_specs.append(spec)
-    parts = [wta[0, 0], wta[0, 1], wta[1, 0], wta[1, 1],
-             wtb[0, 0], wtb[0, 1], wtb[1, 0], wtb[1, 1],
-             b.astype(jnp.float32)] + extra_parts
-    in_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 9 + extra_specs)
+    if quant is not None:
+        stack = lambda wt: jnp.concatenate(
+            [wt[0, 0], wt[0, 1], wt[1, 0], wt[1, 1]], axis=0
+        )
+        parts = [stack(wta), stack(wtb), b.astype(jnp.float32)]
+    else:
+        parts = [wta[0, 0], wta[0, 1], wta[1, 0], wta[1, 1],
+                 wtb[0, 0], wtb[0, 1], wtb[1, 0], wtb[1, 1],
+                 b.astype(jnp.float32)]
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * len(parts)
+                + extra_specs)
+    parts = parts + extra_parts
 
     def mk_a(u):
         return pl.BlockSpec(

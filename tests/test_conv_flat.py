@@ -448,3 +448,50 @@ def test_deconv_pf2_out_parity(np_rng):
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=1e-3, atol=1e-3,
     )
+
+
+@pytest.mark.parametrize("col_off", [4, 7])
+def test_conv2x2_dual_pf2_int8(np_rng, col_off):
+    """Stacked-K int8 dual pf2: resident int8 skip + inline-quant bf16
+    up side, int8 requant output."""
+    from segmentation_tpu.nn.pallas.conv_flat import (
+        conv2x2_dual_pf2, pad_pairs, unpad_pairs,
+    )
+
+    hb, wb_, c, o = 9, 11, 128, 128
+    ro = 2
+    ha, wa_ = hb + 6, wb_ + 10
+    xa = jnp.clip(jnp.round(jnp.asarray(
+        np_rng.normal(size=(2, ha, wa_, c)), jnp.float32) * 40),
+        -127, 127).astype(jnp.int8)
+    xb = jnp.asarray(np_rng.normal(size=(2, hb, wb_, c)),
+                     jnp.bfloat16)
+    mkq = lambda: jnp.clip(jnp.round(jnp.asarray(
+        np_rng.normal(size=(2, 2, c, o)), jnp.float32) * 30),
+        -127, 127).astype(jnp.int8)
+    wqa, wqb = mkq(), mkq()
+    b = jnp.asarray(np_rng.normal(size=(o,)), jnp.float32)
+    sca = jnp.full((o,), 0.01, jnp.float32)
+    scb = jnp.full((o,), 0.02, jnp.float32)
+    q = {"chan_scale_a": sca, "chan_scale_b": scb,
+         "act_scale_b": 0.05, "out_scale": 0.07}
+    s2a = stride_for((wa_ + 1) // 2, jnp.int8)
+    s2b = stride_for((wb_ + 1) // 2, jnp.int8)
+    got = conv2x2_dual_pf2(
+        pad_pairs(xa, s2a), pad_pairs(xb, s2b), wqa, wqb, b,
+        h=hb, w_real=wb_, s2=s2b, s2_a=s2a, hp_a=ha,
+        a_row_off=ro, a_col_off=col_off, r_block=4, quant=q,
+        interpret=True,
+    )
+    assert got.dtype == jnp.int8
+    got = unpad_pairs(got, s2b, hb - 1, wb_ - 1).astype(jnp.float32)
+    crop = xa[:, ro : ro + hb, col_off : col_off + wb_, :]
+    xbq = jnp.clip(jnp.round(xb.astype(jnp.float32) / 0.05), -127, 127)
+    ya = _oracle_conv(crop.astype(jnp.float32), wqa.astype(jnp.float32),
+                      jnp.zeros_like(b), (1, 1), False)
+    yb = _oracle_conv(xbq, wqb.astype(jnp.float32), jnp.zeros_like(b),
+                      (1, 1), False)
+    want = jax.nn.relu(ya * sca + yb * scb + b)
+    want8 = jnp.clip(jnp.round(want / 0.07), -127, 127)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want8),
+                               atol=1.01)
