@@ -83,14 +83,23 @@ def _epilogue(acc, bias_ref, relu, out_dtype, chan_scale=None,
     out_inv: (1,1) f32 SMEM ref holding 1/out_scale — requantize the
     result to int8 (the int8-resident activation path)."""
     y = acc.astype(jnp.float32)
+    if out_inv is not None:
+        # requantizing path: fold 1/out_scale into the multiplier and
+        # bias, and fold the relu into the clip's lower bound — one
+        # fused multiply-add + round + clip instead of five passes
+        oi = out_inv[0, 0]
+        if chan_scale is not None:
+            y = y * (chan_scale[:] * oi)
+        else:
+            y = y * oi
+        q = jnp.round(y + bias_ref[:].astype(jnp.float32) * oi)
+        lo = 0.0 if relu else -127.0
+        return jnp.clip(q, lo, 127.0).astype(jnp.int8)
     if chan_scale is not None:
         y = y * chan_scale[:]
     y = y + bias_ref[:].astype(jnp.float32)
     if relu:
         y = jnp.maximum(y, 0.0)
-    if out_inv is not None:
-        q = jnp.round(y * out_inv[0, 0])
-        return jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
     return y.astype(out_dtype)
 
 

@@ -115,6 +115,18 @@ def _rolldn(v, d):
     return pltpu.roll(v, v.shape[0] - d, 0)
 
 
+def _rolldn8(v, d):
+    """int8 sublane roll: Mosaic has no int8 rotate, so roll the
+    sublane-packed int32 bitcast view (4 int8 rows per int32 row).
+    Requires d and the row count to be multiples of 4 — always true in
+    the int8 region, where strides are 32-aligned."""
+    assert d % 4 == 0 and v.shape[0] % 4 == 0, (d, v.shape)
+    v32 = pltpu.bitcast(v, jnp.int32)
+    return pltpu.bitcast(
+        pltpu.roll(v32, v32.shape[0] - d // 4, 0), jnp.int8
+    )
+
+
 def _acc_taps(x_main, x_next, w00, w01, w10, w11, s, r_block, pref):
     """Four-tap accumulator on a flat block.
 
@@ -131,6 +143,30 @@ def _acc_taps(x_main, x_next, w00, w01, w10, w11, s, r_block, pref):
     pn0 = jnp.dot(x_next, w10, preferred_element_type=pref)
     pn1 = jnp.dot(x_next, w11, preferred_element_type=pref)
     last = keep[(r_block - 1) * s :] + pn0 + _rolldn(pn1, 1)
+    return acc, last
+
+
+def _acc_taps_stacked8(x_main, x_next, ws, s, r_block):
+    """int8 _acc_taps with the ROW taps stacked into the contraction:
+    ws = [w00; w10; w01; w11] as one [4C, O] operand → two K=2C dots
+    (the operand row shift is an int8 bitcast roll, the column shift an
+    int32 product roll). At C=256 that is K=512, where the int8 MXU
+    runs at 2× the bf16 rate; the four-K=C-dot form never gets there."""
+    c = x_main.shape[-1]
+
+    def d(a, w):
+        return jnp.dot(a, w, preferred_element_type=jnp.int32)
+
+    z4 = jnp.concatenate([x_main, _rolldn8(x_main, s)], axis=1)
+    q_keep = d(z4, ws[0 : 2 * c])
+    q_shift = d(z4, ws[2 * c : 4 * c])
+    acc = q_keep + _rolldn(q_shift, 1)
+    cut = (r_block - 1) * s
+    xl = x_main[cut:]
+    w00, w10 = ws[0:c], ws[c : 2 * c]
+    w01, w11 = ws[2 * c : 3 * c], ws[3 * c : 4 * c]
+    last = (d(xl, w00) + _rolldn(d(xl, w01) + d(x_next, w11), 1)
+            + d(x_next, w10))
     return acc, last
 
 
@@ -158,9 +194,14 @@ def _conv2x2_padflat_kernel(
     r_block, s, relu, out_dtype, quant, in_int8, out_int8, has_head,
     head_only, pool, *refs
 ):
-    w00, w01, w10, w11 = refs[0:4]
-    bias = refs[4]
-    k = 5
+    if quant:  # stacked-K weights: one [4C, O] operand
+        ws = refs[0]
+        bias = refs[1]
+        k = 2
+    else:
+        w00, w01, w10, w11 = refs[0:4]
+        bias = refs[4]
+        k = 5
     chan_scale = act_inv = out_inv = None
     if quant:
         chan_scale = refs[k]; k += 1
@@ -174,13 +215,16 @@ def _conv2x2_padflat_kernel(
     x_main_ref, x_next_ref = refs[k], refs[k + 1]
     k += 2
     outs = refs[k:]
-    pref = _INT8_PREF if quant else jnp.float32
 
     x_main = _quant_rows(x_main_ref[0], act_inv)
     x_next = _quant_rows(x_next_ref[0], act_inv)
-    acc, last = _acc_taps(
-        x_main, x_next, w00[:], w01[:], w10[:], w11[:], s, r_block, pref
-    )
+    if quant:
+        acc, last = _acc_taps_stacked8(x_main, x_next, ws, s, r_block)
+    else:
+        acc, last = _acc_taps(
+            x_main, x_next, w00[:], w01[:], w10[:], w11[:], s, r_block,
+            jnp.float32,
+        )
 
     def epi(a):
         return _epilogue(a, bias, relu, out_dtype, chan_scale, out_inv)
@@ -256,8 +300,17 @@ def conv2x2_padflat(x, w, b, *, h: int, w_real: int, s: int,
     )
     assert head is None or not qflags[2], "head needs a float epilogue"
     wt = qparts[0]
-    parts = [wt[0, 0], wt[0, 1], wt[1, 0], wt[1, 1], qparts[1]]
-    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+    if qflags[0]:
+        # stacked-K int8 weights [w00; w10; w01; w11] (row taps inside
+        # the contraction — see _acc_taps_stacked8)
+        parts = [
+            jnp.concatenate([wt[0, 0], wt[1, 0], wt[0, 1], wt[1, 1]],
+                            axis=0),
+            qparts[1],
+        ]
+    else:
+        parts = [wt[0, 0], wt[0, 1], wt[1, 0], wt[1, 1], qparts[1]]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(parts)
     eparts, especs = _q_extras(qparts[1:], qspecs[1:])
     parts += eparts
     in_specs += especs
@@ -326,10 +379,14 @@ def _conv2x2_dual_padflat_kernel(
     r_block, s, w_in, relu, out_dtype, co, slot_phase, n_a, quant,
     in_int8, out_int8, *refs
 ):
-    wa = refs[0:4]
-    wb = refs[4:8]
-    bias = refs[8]
-    k = 9
+    if quant:  # stacked-K weights [w00; w10; w01; w11], one per side
+        ws_a, ws_b, bias = refs[0], refs[1], refs[2]
+        k = 3
+    else:
+        wa = refs[0:4]
+        wb = refs[4:8]
+        bias = refs[8]
+        k = 9
     sc_a = sc_b = ai_a = ai_b = out_inv = None
     if quant:
         a_inline, b_inline = in_int8
@@ -368,20 +425,36 @@ def _conv2x2_dual_padflat_kernel(
                 xs[j * s : j * s + w_in,
                    s_out * cg : (s_out + 1) * cg] = _quant_rows(grp, ai_a)
     xa = xs[:]
-    pa00 = jnp.dot(xa, wa[0][:], preferred_element_type=pref)
-    pa01 = jnp.dot(xa, wa[1][:], preferred_element_type=pref)
-    pa10 = jnp.dot(xa, wa[2][:], preferred_element_type=pref)
-    pa11 = jnp.dot(xa, wa[3][:], preferred_element_type=pref)
-    acc_a = (pa00 + _rolldn(pa01, 1) + _rolldn(pa10, s)
-             + _rolldn(pa11, s + 1))[0 : r_block * s]
+    if quant:
+        # stacked row taps: K=2C dots on [xa, row-rolled xa] (the roll
+        # is the int8 bitcast roll; the column shift a product roll)
+        ca = xa.shape[-1]
+        za4 = jnp.concatenate([xa, _rolldn8(xa, s)], axis=1)
+        qk = jnp.dot(za4, ws_a[0 : 2 * ca],
+                     preferred_element_type=jnp.int32)
+        qs = jnp.dot(za4, ws_a[2 * ca : 4 * ca],
+                     preferred_element_type=jnp.int32)
+        acc_a = (qk + _rolldn(qs, 1))[0 : r_block * s]
+    else:
+        pa00 = jnp.dot(xa, wa[0][:], preferred_element_type=pref)
+        pa01 = jnp.dot(xa, wa[1][:], preferred_element_type=pref)
+        pa10 = jnp.dot(xa, wa[2][:], preferred_element_type=pref)
+        pa11 = jnp.dot(xa, wa[3][:], preferred_element_type=pref)
+        acc_a = (pa00 + _rolldn(pa01, 1) + _rolldn(pa10, s)
+                 + _rolldn(pa11, s + 1))[0 : r_block * s]
 
     # ---- B side (up): direct flat block ------------------------------
     xb_main = _quant_rows(xb_main_ref[0], ai_b)
     xb_next = _quant_rows(xb_next_ref[0], ai_b)
-    acc_b, last_b = _acc_taps(
-        xb_main, xb_next, wb[0][:], wb[1][:], wb[2][:], wb[3][:], s,
-        r_block, pref,
-    )
+    if quant:
+        acc_b, last_b = _acc_taps_stacked8(
+            xb_main, xb_next, ws_b, s, r_block
+        )
+    else:
+        acc_b, last_b = _acc_taps(
+            xb_main, xb_next, wb[0][:], wb[1][:], wb[2][:], wb[3][:], s,
+            r_block, pref,
+        )
 
     if quant:
         def mix(a, bv):
@@ -464,10 +537,18 @@ def conv2x2_dual_padflat(xa, xb, wa, wb, b, *, h: int, w_real: int,
         if out_int8:
             arr, spec = _smem_scalar(1.0 / quant["out_scale"])
             extra_parts.append(arr); extra_specs.append(spec)
-    parts = [wta[0, 0], wta[0, 1], wta[1, 0], wta[1, 1],
-             wtb[0, 0], wtb[0, 1], wtb[1, 0], wtb[1, 1],
-             b.astype(jnp.float32)] + extra_parts
-    in_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 9 + extra_specs)
+    if quant is not None:
+        stack = lambda wt: jnp.concatenate(
+            [wt[0, 0], wt[1, 0], wt[0, 1], wt[1, 1]], axis=0
+        )
+        parts = [stack(wta), stack(wtb), b.astype(jnp.float32)]
+    else:
+        parts = [wta[0, 0], wta[0, 1], wta[1, 0], wta[1, 1],
+                 wtb[0, 0], wtb[0, 1], wtb[1, 0], wtb[1, 1],
+                 b.astype(jnp.float32)]
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * len(parts)
+                + extra_specs)
+    parts = parts + extra_parts
 
     def mk_a(u):
         return pl.BlockSpec(
@@ -897,26 +978,37 @@ def _taps_pf2(xm, xn, w00, w01, w10, w11, s2, r_block, pref, c):
 
 
 def _taps_pf2_stacked(xm, xn, ws, s2, r_block, c):
-    """int8 variant of _taps_pf2 with the row taps STACKED into the
-    contraction: ws = [w00; w01; w10; w11] as one [4C, O] operand, so
-    each parity is ONE K=4C dot — at C=128 that is K=512, which runs
-    the MXU at the 2× int8 rate (K=128 dots only get the bf16 rate).
-    Same FLOPs, half the MXU time; the stacking itself is lane concats
-    + sublane rolls of the in-VMEM block (VPU, no extra HBM)."""
+    """int8 variant of _taps_pf2 with the EVEN parity's lane taps
+    stacked into the contraction: ws = [w00; w01; w10; w11] [4C, O];
+    the even columns read whole pairs, so pe = dot(xm, ws[:2C]) is one
+    K=2C dot — at C=128 that is K=256, the threshold where the MXU runs
+    int8 at 2× the bf16 rate (K=128 dots only get the bf16 rate). The
+    row tap stays a roll of the int32 PRODUCT (Mosaic cannot rotate
+    int8 vectors, so operand rolls — which full 4-tap stacking would
+    need, and which the ODD parity's pair-shift needs — are off the
+    table; the odd parity keeps the four K=C product-roll dots)."""
     def d(a, w):
         return jnp.dot(a, w, preferred_element_type=jnp.int32)
 
-    # lane order of each z: [this column's lanes, the w01-tap lanes];
-    # stacking z with its next-row roll matches ws' [w00;w01;w10;w11].
-    z_e = xm
-    z_o = jnp.concatenate([xm[:, c:], _rolldn(xm[:, :c], 1)], axis=1)
-    acc_e = d(jnp.concatenate([z_e, _rolldn(z_e, s2)], axis=1), ws[:])
-    acc_o = d(jnp.concatenate([z_o, _rolldn(z_o, s2)], axis=1), ws[:])
-    cut = (r_block - 1) * s2
-    zn_o = jnp.concatenate([xn[:, c:], _rolldn(xn[:, :c], 1)], axis=1)
     w_lo, w_hi = ws[0 : 2 * c], ws[2 * c : 4 * c]
-    last_e = d(z_e[cut:], w_lo) + d(xn, w_hi)
-    last_o = d(z_o[cut:], w_lo) + d(zn_o, w_hi)
+    w01, w11 = ws[c : 2 * c], ws[3 * c : 4 * c]
+    w00, w10 = ws[0:c], ws[2 * c : 3 * c]
+    xmL, xmH = xm[:, :c], xm[:, c:]
+    # even: both rows' whole pairs stacked into ONE K=4C dot (the
+    # operand row shift is an int8 bitcast roll) — K=512 at C=128,
+    # where the int8 MXU rate doubles (K=256 measured no better than
+    # the bf16 rate; the K=512 strided conv sits at the 2× roofline)
+    z4 = jnp.concatenate([xm, _rolldn8(xm, s2)], axis=1)
+    acc_e = d(z4, ws[:])
+    # odd: the pair shift is a +1 row offset (not 4-aligned, so no
+    # operand roll) → K=C dots with int32 product rolls
+    po0 = d(xmH, w00) + _rolldn(d(xmL, w01), 1)
+    po1 = d(xmH, w10) + _rolldn(d(xmL, w11), 1)
+    acc_o = po0 + _rolldn(po1, s2)
+    cut = (r_block - 1) * s2
+    xnL, xnH = xn[:, :c], xn[:, c:]
+    last_e = d(xm[cut:], w_lo) + d(xn, w_hi)
+    last_o = po0[cut:] + d(xnH, w10) + _rolldn(d(xnL, w11), 1)
     return acc_e, acc_o, last_e, last_o
 
 
@@ -1142,17 +1234,19 @@ def _conv2x2_dual_pf2_kernel(
     xa = xs[:]
     cut = r_block * s2
     if quant:
-        za_e = xa
-        za_o = jnp.concatenate([xa[:, c:], _rolldn(xa[:, :c], 1)],
-                               axis=1)
-        acc_ae = jnp.dot(
-            jnp.concatenate([za_e, _rolldn(za_e, s2)], axis=1), ws_a[:],
-            preferred_element_type=jnp.int32,
-        )[:cut]
-        acc_ao = jnp.dot(
-            jnp.concatenate([za_o, _rolldn(za_o, s2)], axis=1), ws_a[:],
-            preferred_element_type=jnp.int32,
-        )[:cut]
+        # stacked taps (see _taps_pf2_stacked): even parity one K=4C
+        # dot via the int8 bitcast roll, odd parity K=C product rolls
+        def di(a, w):
+            return jnp.dot(a, w, preferred_element_type=jnp.int32)
+
+        xaL, xaH = xa[:, :c], xa[:, c:]
+        za4 = jnp.concatenate([xa, _rolldn8(xa, s2)], axis=1)
+        acc_ae = di(za4, ws_a[:])[:cut]
+        po0 = di(xaH, ws_a[0:c]) + _rolldn(di(xaL, ws_a[c : 2 * c]), 1)
+        po1 = di(xaH, ws_a[2 * c : 3 * c]) + _rolldn(
+            di(xaL, ws_a[3 * c : 4 * c]), 1
+        )
+        acc_ao = (po0 + _rolldn(po1, s2))[:cut]
     else:
         xaL, xaH = xa[:, :c], xa[:, c:]
 
