@@ -36,44 +36,6 @@ def main(batch=128, reps=10):
     print(f"[{time.strftime('%H:%M:%S')}] init {jax.devices()[0]}",
           flush=True)
 
-    # ---- Mosaic acceptance probes (cheap, first) -----------------------
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    def probe(name, kernel, x, out_sds):
-        try:
-            y = pl.pallas_call(kernel, out_shape=out_sds)(x)
-            y.block_until_ready()
-            print(f"probe {name}: OK", flush=True)
-            return True
-        except Exception as e:  # noqa: BLE001
-            print(f"probe {name}: FAIL {str(e)[:140]}", flush=True)
-            return False
-
-    xp = jnp.ones((256, 32), jnp.float32)
-
-    def k_reshape(x_ref, o_ref):
-        o_ref[...] = x_ref[...].reshape(128, 64)
-
-    probe("value-reshape [256,32]->[128,64]", k_reshape, xp,
-          jax.ShapeDtypeStruct((128, 64), jnp.float32))
-
-    def k_stride2(x_ref, o_ref):
-        v = x_ref[...]
-        o_ref[...] = jnp.concatenate([v[0::2], v[1::2]], axis=1)
-
-    probe("stride-2 sublane slice+concat", k_stride2, xp,
-          jax.ShapeDtypeStruct((128, 64), jnp.float32))
-
-    def k_roll_interleave(x_ref, o_ref):
-        v = x_ref[...]                      # [256, 32]
-        vs = pltpu.roll(v, 255, 0)          # vs[k] = v[k+1]
-        pair = jnp.concatenate([v, vs], axis=1)  # [256, 64]
-        o_ref[...] = pair[0::2]
-
-    probe("roll+concat+stride2", k_roll_interleave, xp,
-          jax.ShapeDtypeStruct((128, 64), jnp.float32))
-
     # ---- models ---------------------------------------------------------
     mcfg = ModelConfig(input_dims=(512, 512), n_kernels=32)
     model = UNet(mcfg)

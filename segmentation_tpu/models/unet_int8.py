@@ -180,12 +180,26 @@ class UNetS2DInt8(UNetS2DInference):
         # to the float path (uncalibrated int8 would be garbage).
         if len(calib_batches):
             sites = entry + packed + std + [f"{n}@b" for n in dual]
+
+            def calib_fwd(x):
+                # ONE jitted forward per batch: the hooks stash traced
+                # abs-maxes in _calibrating, returned as outputs (the
+                # old eager walk cost minutes of per-op dispatch on the
+                # tunnel-attached TPU)
+                self._calibrating = {}
+                self.apply(prepared, x)
+                rec, self._calibrating = self._calibrating, None
+                return rec
+
+            jfwd = jax.jit(calib_fwd)
             records: Dict[str, float] = {name: 0.0 for name in sites}
-            self._calibrating = records
-            for x in calib_batches:
-                # run eagerly through the hooks so abs-maxes get recorded
-                self.apply(prepared, jnp.asarray(x))
-            self._calibrating = None
+            try:
+                for x in calib_batches:
+                    rec = jax.device_get(jfwd(jnp.asarray(x)))
+                    for name, v in rec.items():
+                        records[name] = max(records[name], float(v))
+            finally:
+                self._calibrating = None
             for name in records:
                 key = (
                     f"{name[:-2]}/ascale_b" if name.endswith("@b")
@@ -252,9 +266,10 @@ class UNetS2DInt8(UNetS2DInference):
     _calibrating = None
 
     def _record(self, name, x):
-        self._calibrating[name] = max(
-            self._calibrating.get(name, 0.0),
-            float(jnp.max(jnp.abs(x.astype(jnp.float32)))),
+        m = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        prev = self._calibrating.get(name)
+        self._calibrating[name] = m if prev is None else jnp.maximum(
+            prev, m
         )
 
     def _strided_conv(self, p, name, h, relu=True, paired=False):
