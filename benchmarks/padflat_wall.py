@@ -7,10 +7,6 @@ gap is real per-step overhead or an artifact of section ordering
 defers frees). Runs padflat FIRST in a fresh process, then the old int8
 path, timing both a queued loop and a sync-per-step loop.
 
-Also probes Mosaic acceptance of the in-kernel pairing candidates
-(value reshape [M,32]->[M/2,64] and stride-2 sublane slice) needed to
-kill the 6.6 ms pool->pair boundary copies.
-
 Usage: python benchmarks/padflat_wall.py [batch] [reps]
 """
 
