@@ -36,6 +36,11 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--label-dim", type=int, default=None)
     p.add_argument("--variational", action="store_true")
     p.add_argument("--bayesian", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="INFERENCE: serve the U-Net through the "
+                        "calibrated int8 Pallas path (padflat/pf2 "
+                        "kernels on TPU; ~1.5x bf16 throughput at "
+                        ">=98.5%% mask agreement)")
     p.add_argument("--autoencoder", action="store_true")
     p.add_argument("--adversarial-training", action="store_true")
     p.add_argument("--adversarial-update-every", type=int, default=1,
@@ -265,6 +270,29 @@ def cmd_infer(args):
     if args.bayesian:
         mean, var, output = trainer.infer_bayesian(imgs, args.mc_samples)
         outputs = {"mean": mean, "var": var, "mask": output}
+    elif args.int8:
+        # calibrated int8 serving (models/unet_int8): quantize the
+        # restored weights, calibrate activation scales on the inference
+        # images themselves, and run the packed-head argmax path
+        if args.model != "unet":
+            raise SystemExit("--int8 serving supports --model unet")
+        import jax
+        import jax.numpy as jnp
+
+        from segmentation_tpu.models.unet_int8 import UNetS2DInt8
+
+        q = UNetS2DInt8(trainer.mcfg)
+        params = jax.device_get(trainer.state.params)
+        calib = [jnp.asarray(imgs[: min(8, len(imgs))])]
+        prepared = q.prepare(params, calib_batches=calib)
+        # prepared rides the closure: the quant dispatch reads the
+        # calibrated scales as static values at trace time
+        mask = np.asarray(
+            jax.jit(lambda x: q.apply_argmax(prepared, x))(
+                jnp.asarray(imgs)
+            )
+        )
+        outputs = {"mask": mask[..., None]}
     else:
         y_hat_sig, output = trainer.infer(imgs)
         outputs = {"prob": y_hat_sig, "mask": output}

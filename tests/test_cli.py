@@ -103,3 +103,40 @@ def test_cli_train_command(tmp_path):
     from segmentation_tpu.utils import checkpoint as ckpt
 
     assert ckpt.latest_checkpoint(str(tmp_path)) is not None
+
+
+def test_cli_infer_int8(tmp_path):
+    """--int8 serving path end-to-end: train a tiny unet, then infer
+    through the calibrated int8 path (XLA fallback kernels on CPU) and
+    check the written masks."""
+    import cv2
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        cv2.imwrite(
+            str(img_dir / f"{i}.jpg"),
+            rng.integers(0, 255, (200, 200, 3), dtype=np.uint8),
+        )
+    snap = tmp_path / "snap"
+    rc = main([
+        "train", "--model", "unet", "--crop-size", "188",
+        "--batch-size", "2", "--n-kernels", "4", "--epochs", "1",
+        "--iters", "2", "--test-every", "5",
+        "--image-dir", str(img_dir), "--mask-dir", str(img_dir),
+        "--mask-ext", "jpg", "--save-dir", str(snap),
+    ])
+    assert rc is None
+    out = tmp_path / "pred"
+    rc = main([
+        "infer", "--model", "unet", "--crop-size", "188",
+        "--batch-size", "4", "--n-kernels", "4", "--int8",
+        "--image-dir", str(img_dir), "--save-dir", str(snap),
+        "--out-dir", str(out),
+    ])
+    assert rc is None
+    masks = sorted(out.glob("*_mask.png"))
+    assert len(masks) == 4
+    m = cv2.imread(str(masks[0]), 0)
+    assert m is not None and set(np.unique(m)) <= {0, 255}
