@@ -41,20 +41,37 @@ def main(iters=20, batches=(128, 160, 192)):
     opt = optax.adam(1e-4)
     opt_state = opt.init(params)
 
-    @jax.jit
-    def step(p, s, os_, x, y):
-        def loss_fn(p):
-            logits, ns = fwd.apply(
-                p, s, jax.random.PRNGKey(0), x, train=True
-            )
-            yy = center_crop_or_pad(y, logits.shape[1], logits.shape[2])
-            return L.segmentation_xentropy(logits, yy, 2), ns
+    def make_step(remat):
+        apply_train = lambda p, s_, x: fwd.apply(  # noqa: E731
+            p, s_, jax.random.PRNGKey(0), x, train=True
+        )
+        if remat:
+            apply_train = jax.checkpoint(apply_train)
 
-        (l, ns), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
-        u, os_ = opt.update(g, os_, p)
-        return optax.apply_updates(p, u), ns, os_, l
+        @jax.jit
+        def step(p, s, os_, x, y):
+            def loss_fn(p):
+                logits, ns = apply_train(p, s, x)
+                yy = center_crop_or_pad(
+                    y, logits.shape[1], logits.shape[2]
+                )
+                return L.segmentation_xentropy(logits, yy, 2), ns
 
-    for batch in batches:
+            (l, ns), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            u, os_ = opt.update(g, os_, p)
+            return optax.apply_updates(p, u), ns, os_, l
+
+        return step
+
+    step_plain = make_step(False)
+    step_remat = None
+
+    for spec in batches:
+        remat = isinstance(spec, str) and spec.startswith("r")
+        batch = int(spec[1:]) if remat else int(spec)
+        if remat and step_remat is None:
+            step_remat = make_step(True)
+        step = step_remat if remat else step_plain
         try:
             x = jax.jit(
                 lambda k: jax.random.uniform(
@@ -67,7 +84,8 @@ def main(iters=20, batches=(128, 160, 192)):
                 ).astype(jnp.uint8)
             )(jax.random.PRNGKey(3))
             x.block_until_ready()
-            print(f"B={batch} compiling...", flush=True)
+            print(f"B={batch}{' remat' if remat else ''} compiling...",
+                  flush=True)
             p2, s2, o2, l = step(params, st, opt_state, x, y)
             float(l)
             p2, s2, o2, l = step(p2, s2, o2, x, y)  # post-reshard steady
@@ -78,8 +96,8 @@ def main(iters=20, batches=(128, 160, 192)):
             float(l)
             dt = (time.perf_counter() - t0) / iters
             print(
-                f"B={batch:4d}  {dt * 1e3:7.2f} ms/step  "
-                f"{batch / dt:7.1f} img/s",
+                f"B={batch:4d}{'r' if remat else ' '} "
+                f"{dt * 1e3:7.2f} ms/step  {batch / dt:7.1f} img/s",
                 flush=True,
             )
             del p2, s2, o2, x, y
@@ -91,5 +109,5 @@ def main(iters=20, batches=(128, 160, 192)):
 if __name__ == "__main__":
     a = sys.argv[1:]
     it = int(a[0]) if a else 20
-    bs = tuple(int(b) for b in a[1:]) or (128, 160, 192)
+    bs = tuple(a[1:]) or (128, 160, 192)  # "r192" = remat at B=192
     main(it, bs)
