@@ -686,6 +686,17 @@ def pf_pair(pf: PadFlat, tile: int) -> PadFlat:
     return pf_from4(x4, tile)
 
 
+def _maxpool2(h):
+    """2×2/2 max pool on a std-layout tensor; init respects int8-resident
+    activations (max pool commutes with the positive per-tensor scale, so
+    pooling the int8 codes is exact)."""
+    init = (jnp.asarray(-128, h.dtype) if h.dtype == jnp.int8
+            else -jnp.inf)
+    return lax.reduce_window(
+        h, init, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
 # ------------------------------------------------------------------ forward
 @dataclasses.dataclass
 class UNetS2DInference:
@@ -821,6 +832,17 @@ class UNetS2DInference:
         y = _conv_batch_sharded(h, p[f"{name}/w"].astype(h.dtype), (1, 1))
         y = y + p[f"{name}/b"].astype(y.dtype)
         return jax.nn.relu(y) if relu else y
+
+    def _std_dual_conv(self, p, name, sk, up, relu=True):
+        """Decoder std conv over the (cropped-skip, upsampled) pair.
+
+        Base path is the reference's crop-and-concat conv
+        (/root/reference/models/unet.py:138-162). The int8 subclass
+        splits the weight along input channels so each operand keeps its
+        own scale and the skip can stay int8-resident."""
+        return self._std_conv(
+            p, name, jnp.concatenate([sk, up], axis=-1), relu
+        )
 
     # ---- padded-flat serving hooks ---------------------------------------
     # The packed region can run entirely on the conv_flat kernels with
@@ -1033,9 +1055,7 @@ class UNetS2DInference:
             h = self._std_conv(p, f"conv{lvl + 1}_1", h)
             h = self._std_conv(p, f"conv{lvl + 1}_2", h)
             skips.append(h)
-            h = lax.reduce_window(
-                h, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-            )
+            h = _maxpool2(h)
         h = self._std_conv(p, f"conv{L + 1}_1", h)
         h = self._std_conv(p, f"conv{L + 1}_2", h)
 
@@ -1082,8 +1102,7 @@ class UNetS2DInference:
                 dw = sk.shape[2] - h.shape[2]
                 sk = sk[:, dh // 2 : dh // 2 + h.shape[1],
                         dw // 2 : dw // 2 + h.shape[2], :]
-                h = jnp.concatenate([sk, h], axis=-1)
-                h = self._std_conv(p, c1, h)
+                h = self._std_dual_conv(p, c1, sk, h)
                 h = self._std_conv(p, c2, h)
 
         if head_mask is not None:
@@ -1208,9 +1227,7 @@ class UNetS2DInference:
             h = self._std_conv(p, f"conv{lvl + 1}_1", h)
             h = self._std_conv(p, f"conv{lvl + 1}_2", h)
             skips.append(("plain", h))
-            h = lax.reduce_window(
-                h, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-            )
+            h = _maxpool2(h)
         h = self._std_conv(p, f"conv{L + 1}_1", h)
         h = self._std_conv(p, f"conv{L + 1}_2", h)
         if self.dropout_fn is not None:  # bottleneck MC-dropout site
@@ -1270,8 +1287,7 @@ class UNetS2DInference:
                 dw = sk.shape[2] - h.shape[2]
                 sk = sk[:, dh // 2 : dh // 2 + h.shape[1],
                         dw // 2 : dw // 2 + h.shape[2], :]
-                h = jnp.concatenate([sk, h], axis=-1)
-                h = self._std_conv(p, c1, h)
+                h = self._std_dual_conv(p, c1, sk, h)
                 h = self._std_conv(p, c2, h)
 
         if self.dropout_fn is not None:  # decoder-end MC-dropout site

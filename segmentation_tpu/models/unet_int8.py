@@ -59,21 +59,60 @@ def _quant_act(x: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(xq, -127, 127).astype(jnp.int8)
 
 
-def int8_conv(x, wq, w_scale, act_scale, b, relu=True, strides=(1, 1)):
+def int8_conv(x, wq, w_scale, act_scale, b, relu=True, strides=(1, 1),
+              out_scale=None):
     """Standard-layout int8 VALID conv with float rescale epilogue.
     ``x`` may already be int8 (resident activations quantized by the
-    producer at ``act_scale``) — then the quantize step is skipped."""
+    producer at ``act_scale``) — then the quantize step is skipped.
+    With ``out_scale`` the requant folds into the epilogue (relu becomes
+    the clip's lower bound) and the site emits int8 directly — the std
+    levels then stay int8-RESIDENT: no bf16 intermediate is written and
+    the consumer's standalone quantize pass disappears."""
     xq = x if x.dtype == jnp.int8 else _quant_act(x, act_scale)
     yi = lax.conv_general_dilated(
         xq, wq, strides, "VALID", dimension_numbers=_DN,
         preferred_element_type=jnp.int32,
     )
+    if out_scale is not None:
+        mult = (act_scale * w_scale / out_scale).astype(jnp.float32)
+        y = yi.astype(jnp.float32) * mult
+        y = y + b.astype(jnp.float32) / out_scale
+        lo = 0.0 if relu else -127.0
+        return jnp.clip(jnp.round(y), lo, 127.0).astype(jnp.int8)
     y = yi.astype(jnp.float32) * (act_scale * w_scale)
     y = y + b.astype(jnp.float32)
     if relu:
         y = jax.nn.relu(y)
     out_dt = jnp.bfloat16 if x.dtype == jnp.int8 else x.dtype
     return y.astype(out_dt)
+
+
+def int8_std_dual_conv(sk, up, wqa, wsa, sk_scale, wqb, wsb, asb, b,
+                       relu=True, out_scale=None):
+    """Decoder std conv with the concat weight split per operand (skip
+    half / upsampled half), so the int8-resident skip is consumed at its
+    stored scale and only the bf16 deconv side pays a quantize pass.
+    Replaces concat→conv (the concat of mixed s8/bf16 would force a
+    dequant copy of the big skip)."""
+    ska = sk if sk.dtype == jnp.int8 else _quant_act(sk, sk_scale)
+    upq = up if up.dtype == jnp.int8 else _quant_act(up, asb)
+    ya = lax.conv_general_dilated(
+        ska, wqa, (1, 1), "VALID", dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (sk_scale * wsa)
+    yb = lax.conv_general_dilated(
+        upq, wqb, (1, 1), "VALID", dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (asb * wsb)
+    y = ya + yb + b.astype(jnp.float32)
+    if out_scale is not None:
+        lo = 0.0 if relu else -127.0
+        return jnp.clip(jnp.round(y / out_scale), lo, 127.0).astype(
+            jnp.int8
+        )
+    if relu:
+        y = jax.nn.relu(y)
+    return y.astype(jnp.bfloat16)
 
 
 def _tile4(b):
@@ -147,6 +186,17 @@ class UNetS2DInt8(UNetS2DInference):
                 names += [f"conv{L + 2 + i}_1", f"conv{L + 2 + i}_2"]
         return names
 
+    def _std_dual_names(self):
+        """Decoder std _1 convs: consume (cropped skip, upsampled) —
+        quantized with the concat weight SPLIT per operand so the skip
+        stays int8-resident (see int8_std_dual_conv)."""
+        L, pl_ = self.levels, self.packed_levels
+        return [
+            f"conv{L + 2 + i}_1"
+            for i, lvl in enumerate(reversed(range(L)))
+            if lvl >= pl_
+        ]
+
     def prepare(self, params: Dict[str, jnp.ndarray],
                 calib_batches: Sequence[jnp.ndarray] = ()):
         prepared = super().prepare(params)
@@ -173,13 +223,27 @@ class UNetS2DInt8(UNetS2DInference):
             wq, ws = _quantize_weight(np.asarray(prepared[f"{name}/w"]))
             prepared[f"{name}/wq"] = jnp.asarray(wq)
             prepared[f"{name}/wscale"] = jnp.asarray(ws)
+        std_dual = self._std_dual_names()
+        for name in std_dual:
+            # split the concat weight: [:, :, :CI-CO] reads the skip
+            # (concat order is [skip, up]); decoder convs halve channels
+            # so CI-CO == CO == the up side's width
+            w = np.asarray(prepared[f"{name}/w"])
+            ca = w.shape[2] - w.shape[3]
+            assert ca == w.shape[3], (name, w.shape)
+            for half, ws_ in (("a", w[:, :, :ca]), ("b", w[:, :, ca:])):
+                wq, ws = _quantize_weight(ws_)
+                prepared[f"{name}/wq_{half}"] = jnp.asarray(wq)
+                prepared[f"{name}/wscale_{half}"] = jnp.asarray(ws)
 
         # Calibrate activation scales by running the float path and
         # recording abs-max at each quantized site. WITHOUT calibration
         # batches no activation scales are written and every site falls back
         # to the float path (uncalibrated int8 would be garbage).
         if len(calib_batches):
-            sites = entry + packed + std + [f"{n}@b" for n in dual]
+            sites = (entry + packed + std + [f"{n}@b" for n in dual]
+                     + [f"{n}@b" for n in std_dual])
+            dual_a = dual | set(std_dual)
 
             def calib_fwd(x):
                 # ONE jitted forward per batch: the hooks stash traced
@@ -203,7 +267,7 @@ class UNetS2DInt8(UNetS2DInference):
             for name in records:
                 key = (
                     f"{name[:-2]}/ascale_b" if name.endswith("@b")
-                    else f"{name}/ascale_a" if name in dual
+                    else f"{name}/ascale_a" if name in dual_a
                     else f"{name}/ascale"
                 )
                 prepared[key] = jnp.asarray(
@@ -234,10 +298,18 @@ class UNetS2DInt8(UNetS2DInference):
             )
             succ[f"conv{lvl + 1}_1"] = f"conv{lvl + 1}_2"
             succ[f"conv{lvl + 1}_2"] = nxt
-        for i, lvl in enumerate(reversed(range(L))):
-            if lvl < pl_:
-                succ[f"conv{L + 2 + i}_1"] = f"conv{L + 2 + i}_2"
-                # _2 decoder convs feed a deconv (bf16) or the head
+        # std levels: encoder chains through the pool into the next
+        # level (max pool commutes with the positive scale, so pooling
+        # int8 codes at the consumer's scale is exact); the bottleneck
+        # _2 and decoder _2 convs feed bf16 deconvs and stay bf16.
+        for lvl in range(pl_, L):
+            succ[f"conv{lvl + 1}_1"] = f"conv{lvl + 1}_2"
+            succ[f"conv{lvl + 1}_2"] = f"conv{lvl + 2}_1"
+        succ[f"conv{L + 1}_1"] = f"conv{L + 1}_2"
+        for i in range(L):
+            # decoder _1 → _2 (packed and std alike); _2 decoder convs
+            # feed a deconv (bf16) or the head
+            succ[f"conv{L + 2 + i}_1"] = f"conv{L + 2 + i}_2"
         nxt = succ.get(name)
         if nxt is None:
             return None
@@ -620,13 +692,40 @@ class UNetS2DInt8(UNetS2DInference):
     def _std_conv(self, p, name, h, relu=True):
         quantized = f"{name}/wq" in p and name in self._std_names_cache
         if self._calibrating is not None and quantized:
-            self._record(name, h)
+            if name not in self._std_dual_cache:
+                # dual sites record their operands in _std_dual_conv;
+                # recording the concat here would inflate ascale_a
+                self._record(name, h)
         elif quantized and f"{name}/ascale" in p:
             return int8_conv(
                 h, p[f"{name}/wq"], p[f"{name}/wscale"],
                 p[f"{name}/ascale"], p[f"{name}/b"], relu,
+                out_scale=self._out_scale_of(p, name),
             )
+        if h.dtype == jnp.int8:  # resident tensor hitting a float path
+            h = h.astype(jnp.bfloat16) * self._in_scale_of(p, name)
         return super()._std_conv(p, name, h, relu)
+
+    def _std_dual_conv(self, p, name, sk, up, relu=True):
+        split = f"{name}/wq_a" in p
+        if self._calibrating is not None and split:
+            self._record(name, sk)          # -> {name}/ascale_a
+            self._record(f"{name}@b", up)   # -> {name}/ascale_b
+        elif split and f"{name}/ascale_b" in p:
+            sk_s = (
+                self._skip_scale_of(p, name)
+                if sk.dtype == jnp.int8
+                else self._in_scale_of(p, name, "a")
+            )
+            return int8_std_dual_conv(
+                sk, up, p[f"{name}/wq_a"], p[f"{name}/wscale_a"], sk_s,
+                p[f"{name}/wq_b"], p[f"{name}/wscale_b"],
+                self._in_scale_of(p, name, "b"), p[f"{name}/b"], relu,
+                out_scale=self._out_scale_of(p, name),
+            )
+        if sk.dtype == jnp.int8:
+            sk = sk.astype(jnp.bfloat16) * self._skip_scale_of(p, name)
+        return super()._std_dual_conv(p, name, sk, up, relu)
 
     @property
     def _std_names_cache(self):
@@ -634,4 +733,12 @@ class UNetS2DInt8(UNetS2DInference):
         if cache is None:
             cache = set(self._std_conv_names())
             object.__setattr__(self, "_std_names_", cache)
+        return cache
+
+    @property
+    def _std_dual_cache(self):
+        cache = getattr(self, "_std_dual_", None)
+        if cache is None:
+            cache = set(self._std_dual_names())
+            object.__setattr__(self, "_std_dual_", cache)
         return cache
