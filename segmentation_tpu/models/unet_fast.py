@@ -67,12 +67,21 @@ def _pallas_conv_ok(c: int, o: int) -> bool:
 
 
 # ------------------------------------------------------------------ packing
+def _explicit_batch_spec(x):
+    """True when the traced aval carries a non-None batch axis name, i.e.
+    we are under explicit-sharding jit (Auto meshes trace with an all-None
+    spec) where strided convs / rank-changing reshapes cannot infer an
+    output sharding and need it passed explicitly."""
+    try:
+        return x.aval.sharding.spec[0] is not None
+    except AttributeError:  # plain numpy input outside jit
+        return False
+
+
 def _reshape(x, shape):
     """Reshape that tolerates batch-sharded operands under explicit-sharding
     jit: dim 0 keeps its sharding, new dims are unsharded."""
-    try:
-        return x.reshape(shape)
-    except Exception:
+    if _explicit_batch_spec(x):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         sh = x.aval.sharding
@@ -80,6 +89,7 @@ def _reshape(x, shape):
             sh.mesh, P(sh.spec[0], *([None] * (len(shape) - 1)))
         )
         return lax.reshape(x, shape, out_sharding=out)
+    return x.reshape(shape)
 
 
 def pack2(x: jnp.ndarray) -> jnp.ndarray:
@@ -201,11 +211,7 @@ def _conv_batch_sharded(x, w, strides):
     (strided convs can't infer the output sharding under explicit-sharding
     jit — seen with remat over mesh-placed batches): batch dim keeps its
     sharding, spatial/channel dims unsharded."""
-    try:
-        return lax.conv_general_dilated(
-            x, w, strides, "VALID", dimension_numbers=_DN,
-        )
-    except Exception:
+    if _explicit_batch_spec(x):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         sh = x.aval.sharding
@@ -213,6 +219,9 @@ def _conv_batch_sharded(x, w, strides):
         return lax.conv_general_dilated(
             x, w, strides, "VALID", dimension_numbers=_DN, out_sharding=out,
         )
+    return lax.conv_general_dilated(
+        x, w, strides, "VALID", dimension_numbers=_DN,
+    )
 
 
 def strided_packed_conv3(x, w4, b, relu=True):

@@ -256,13 +256,18 @@ def dropout(
         return x
     keep = 1.0 - rate
     mask = jax.random.bernoulli(hk.next_rng_key(), keep, x.shape)
+    # Under explicit-sharding jit the mask traces replicated while x is
+    # sharded, and jnp.where rejects the mix; replicated→sharded is a local
+    # slice (no comms). Auto meshes trace with an all-None spec → no-op.
     try:
-        return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
-    except Exception:
-        # Under explicit-sharding jit the mask traces replicated while x is
-        # batch-sharded; replicated→sharded is a local slice (no comms).
+        x_spec, m_spec = x.aval.sharding.spec, mask.aval.sharding.spec
+    except AttributeError:  # plain numpy input outside jit
+        x_spec = m_spec = None
+    if x_spec != m_spec and x_spec is not None and any(
+        s is not None for s in x_spec
+    ):
         mask = jax.sharding.reshard(mask, x.aval.sharding)
-        return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
 
 
 def bilinear_resize(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
