@@ -1,108 +1,189 @@
-"""Analytic roofline for the 512² U-Net serving graph on TPU v5e.
+"""Analytic roofline for the 512² U-Net int8 serving graph on TPU v5e.
 
-Computes, per site of the int8 padflat/pf2 serving graph, the minimum
-HBM bytes (inputs read once + outputs written once, resident dtypes as
-the graph actually stores them) and the MXU time at spec rates
-(v5e ≈ 197 TFLOP/s bf16, 394 TOP/s int8 — int8 rate requires K ≥ 256;
-below that the MXU runs at the bf16 rate, which is what the K=C=128
-packed convs see). The max of the two per site, summed, is the
-speed-of-light step time for THIS formulation — the number the
-measured profile should be judged against (VERDICT r2 item 1 allows
-"a measured proof that the roofline itself is lower" than the 5k
-north star).
+Walks the ACTUAL tensor flow of the current formulation (padflat/pf2
+packed levels 1-2 + int8-RESIDENT std levels 3-5 + packed decoder) for
+the headline config (n_kernels=32, B=128) and computes per site:
 
-Prints a per-site table plus the roofline img/s, and compares against
-the latest measured device profile if one is pasted in MEASURED.
+  - minimum HBM bytes: every produced tensor written once, read once
+    per consuming op, at the dtype the graph actually stores it
+    (s8 for resident activations, bf16 at the deconv boundaries);
+  - MXU time at spec rates: v5e ≈ 197 TFLOP/s bf16, 394 TOP/s int8
+    when the contraction K ≥ 256 (below that the MXU runs int8 at the
+    bf16 rate — the stacked-K taps exist exactly to cross that line).
+
+max(bw, mxu) per site, summed = the speed-of-light step for THIS
+formulation — the number the measured device profile is judged against
+(VERDICT r2 item 1 allows "a measured proof that the roofline itself
+is lower" than the 5k north star). A second total drops the two known
+formulation taxes (entry relayout copy; up1 masked-slot 4× K tax) =
+the ceiling any reformulation of the same math could reach.
+
+History: the r3-early version of this file hand-listed sites with std
+channel widths doubled (128→256, 512→1024), modeling a 68.9 ms floor
+that the 55.9 ms measured profile then beat — a roofline the
+measurement crosses is a bug, hence this programmatic rebuild.
 
 Pure host arithmetic — no TPU needed.
 """
 
 from __future__ import annotations
 
-BW = 819e9            # HBM bytes/s (v5e spec ~819 GB/s)
-MXU_BF16 = 197e12     # FLOP/s
-MXU_INT8 = 394e12     # int8 FLOP/s at K >= 256
+BW = 819e9          # HBM bytes/s (v5e spec ~819 GB/s)
+MXU_BF16 = 197e12   # FLOP/s
+MXU_INT8 = 394e12   # int8 FLOP/s at K >= 256
 B = 128
+K = 32              # n_kernels
+
+SITES = []
 
 
-def conv_cost(name, h_in, w_in, c, o, taps, dtype_in, dtype_out,
-              k_depth, extra_out=0.0, note=""):
-    """One conv-like site: returns (bytes, flops, mxu_rate)."""
-    bpi = 1 if dtype_in == "s8" else 2
-    bpo = 1 if dtype_out == "s8" else 2
-    h_out, w_out = h_in - 1, w_in - 1
-    if taps == 16:  # 4x4/2 strided
-        h_out, w_out = (h_in - 2) // 2, (w_in - 2) // 2
-    reads = B * h_in * w_in * c * bpi
-    writes = B * h_out * w_out * o * bpo * (1 + extra_out)
-    flops = 2 * B * h_out * w_out * o * c * taps
-    rate = MXU_INT8 if (dtype_in == "s8" and k_depth >= 256) else MXU_BF16
-    return name, reads + writes, flops, rate, note
+def site(name, bytes_, flops_by_rate, note=""):
+    """flops_by_rate: list of (flops, K_depth, is_int8) contributions."""
+    t_mx = 0.0
+    for fl, kd, i8 in flops_by_rate:
+        rate = MXU_INT8 if (i8 and kd >= 256) else MXU_BF16
+        t_mx += fl / rate
+    SITES.append((name, bytes_, t_mx * 1e3, note))
+
+
+def conv(name, hw_in, ci, co, taps, in_dt, out_dt, kd, i8,
+         extra_writes=0, stride=1, note=""):
+    """Generic conv-like site. hw_out = hw_in - 1 for the packed 2x2,
+    hw_in - 2 for std 3x3, (hw_in - 2) // 2 for the 4x4/2 strided."""
+    bpi = 1 if in_dt == "s8" else 2
+    bpo = 1 if out_dt == "s8" else 2
+    if stride == 2:
+        hw_out = (hw_in - 2) // 2
+    elif taps == 9:
+        hw_out = hw_in - 2
+    else:
+        hw_out = hw_in - 1
+    reads = B * hw_in * hw_in * ci * bpi
+    writes = B * hw_out * hw_out * co * bpo + extra_writes
+    flops = 2 * B * hw_out * hw_out * co * ci * taps
+    site(name, reads + writes, [(flops, kd, i8)], note)
+    return hw_out
 
 
 def main():
-    sites = [
-        # entry: XLA bf16 conv (reads input, writes s8 via fused clamp)
-        ("c1_1 entry conv (XLA)", B * 512 * 512 * 3 * 2
-         + B * 255 * 256 * 128 * 1,
-         2 * B * 255 * 255 * 128 * 48, MXU_BF16, "C=3: MXU-starved"),
-        ("entry pf2 relayout copy", 2 * B * 255 * 256 * 128 * 1, 0, 1,
-         "transposing copy, unavoidable w/o producer layout control"),
-        conv_cost("c1_2+pool (pf2)", 255, 255, 128, 128, 4, "s8", "s8",
-                  128, extra_out=0.25, note="pool out O/4 paired"),
-        conv_cost("c2_1 strided", 254, 127 * 2, 64, 256, 16, "s8", "s8",
-                  512, note="paired K-stacked 8C=512"),
-        conv_cost("c2_2+pool", 126, 126, 256, 256, 4, "s8", "s8", 256,
-                  extra_out=0.25),
-        # std levels (XLA int8, batch-minor layouts) — conv pairs + pools
-        conv_cost("conv3_1 (XLA)", 125, 125, 64, 256, 9, "s8", "bf16",
-                  64),
-        conv_cost("conv3_2 (XLA)", 123, 123, 256, 256, 9, "s8", "bf16",
-                  256),
-        conv_cost("conv4_1 (XLA)", 60, 60, 256, 512, 9, "s8", "bf16",
-                  256),
-        conv_cost("conv4_2 (XLA)", 58, 58, 512, 512, 9, "s8", "bf16",
-                  512),
-        conv_cost("conv5_1 (XLA)", 28, 28, 512, 1024, 9, "s8", "bf16",
-                  512),
-        conv_cost("conv5_2 (XLA)", 26, 26, 1024, 1024, 9, "s8", "bf16",
-                  1024),
-        # std decoder
-        conv_cost("conv6_* + up (XLA)", 48, 48, 1024, 512, 9 + 4, "s8",
-                  "bf16", 512, note="upconv+2 convs lumped"),
-        conv_cost("conv7_* + up (XLA)", 88, 88, 512, 256, 9 + 4, "s8",
-                  "bf16", 256, note="lumped"),
-        # packed decoder
-        ("up2 matmul (pad+dot)", 2 * B * 84 * 84 * 128 * 2
-         + B * 84 * 96 * 256 * 2,
-         2 * B * 84 * 84 * 128 * 256, MXU_BF16, "bf16"),
-        conv_cost("c8_1 dual", 84, 84, 256 * 2, 256, 4, "s8", "s8", 256,
-                  note="two operands"),
-        conv_cost("c8_2", 83, 83, 256, 256, 4, "s8", "bf16", 256),
-        ("up1 deconv pf2", B * 82 * 96 * 256 * 2
-         + B * 164 * 96 * 256 * 2,
-         2 * B * 82 * 82 * 64 * 128 * 4 * 4, MXU_BF16,
-         "masked-slot dots 4x K tax"),
-        conv_cost("c9_1 dual pf2", 164, 164, 128 * 2, 128, 4, "s8", "s8",
-                  128, note="skip s8 + up bf16"),
-        ("c9_2+head pf2 (mask only)", B * 163 * 96 * 2 * 128 * 1
-         + B * 162 * 96 * 8 * 1,
-         2 * B * 162 * 162 * 128 * 128 * 4, MXU_BF16, "head_only"),
-    ]
+    # ---------------- packed encoder (pf2, int8 resident) ----------------
+    # entry: XLA bf16 4x4/2 conv (3x3 folded to stride-2 s2d), s8 out
+    c1 = 4 * K  # flat channels, level 1
+    h1 = 255
+    site("c1_1 entry conv (XLA bf16)",
+         B * 512 * 512 * 3 * 2 + B * h1 * h1 * c1 * 1,
+         [(2 * B * h1 * h1 * c1 * 3 * 16, 48, False)],
+         "C=3: K=48, MXU-starved in practice")
+    site("entry->pf2 relayout copy", 2 * B * h1 * h1 * c1 * 1, [],
+         "formulation tax: XLA conv layout -> padflat (no producer "
+         "layout control)")
+    # c1_2 + fused pool; conv out doubles as the level-1 skip
+    h = conv("c1_2+pool (pf2 s8)", h1, c1, c1, 4, "s8", "s8",
+             2 * c1, True,
+             extra_writes=B * (h1 // 2) ** 2 * c1,  # pool out
+             note="stacked K=2C=256; skip stays resident")
+    hp = h // 2  # 127 packed = 254 real, paired handoff
+    # c2_1: 4x4/2 strided conv on the paired pool handoff
+    c2 = 4 * 2 * K
+    h = conv("c2_1 strided (pf2 s8)", 2 * hp, 2 * K, c2, 16, "s8",
+             "s8", 16 * 2 * K, True, stride=2,
+             note="paired stacked K=16C=1024")
+    h = conv("c2_2+pool (pf2 s8)", h, c2, c2, 4, "s8", "s8",
+             2 * c2, True, extra_writes=B * (h // 2) ** 2 * c2,
+             note="stacked K=2C=512; skip resident")
+    hp2 = h // 2  # 63 packed -> unpacked 125 std
+
+    # ---------------- std encoder (XLA int8, resident) -------------------
+    h = 125
+    h = conv("conv3_1 (XLA s8)", h, 2 * K, 4 * K, 9, "s8", "s8",
+             9 * 2 * K, True)
+    h = conv("conv3_2 (XLA s8)", h, 4 * K, 4 * K, 9, "s8", "s8",
+             9 * 4 * K, True, note="out = skip, resident")
+    site("pool3 (s8 codes)",
+         B * h * h * 4 * K + B * (h // 2) ** 2 * 4 * K, [])
+    h = h // 2
+    h = conv("conv4_1 (XLA s8)", h, 4 * K, 8 * K, 9, "s8", "s8",
+             9 * 4 * K, True)
+    h = conv("conv4_2 (XLA s8)", h, 8 * K, 8 * K, 9, "s8", "s8",
+             9 * 8 * K, True, note="out = skip, resident")
+    site("pool4 (s8 codes)",
+         B * h * h * 8 * K + B * (h // 2) ** 2 * 8 * K, [])
+    h = h // 2
+    h = conv("conv5_1 (XLA s8)", h, 8 * K, 16 * K, 9, "s8", "s8",
+             9 * 8 * K, True)
+    h = conv("conv5_2 (XLA s8->bf16)", h, 16 * K, 16 * K, 9, "s8",
+             "bf16", 9 * 16 * K, True, note="feeds bf16 deconv")
+
+    # ---------------- std decoder ----------------------------------------
+    # deconv6: 2x2/2 transposed, bf16 (24 -> 48)
+    h6 = 2 * h
+    site("deconv6 (bf16)",
+         B * h * h * 16 * K * 2 + B * h6 * h6 * 8 * K * 2,
+         [(2 * B * h6 * h6 * 8 * K * 16 * K, 16 * K, False)])
+    # skip crop 56 -> 48 (materialized window copy, s8)
+    site("crop skip4 (s8)", 2 * B * 48 * 48 * 8 * K, [])
+    h = conv("conv6_1 dual split (s8+bf16)", h6, 8 * K, 8 * K, 9,
+             "s8", "s8", 9 * 8 * K, True,
+             extra_writes=B * h6 * h6 * 8 * K,  # bf16 up side read 2B/elem
+             note="skip half s8-resident, up half bf16")
+    h = conv("conv6_2 (XLA s8->bf16)", h, 8 * K, 8 * K, 9, "s8",
+             "bf16", 9 * 8 * K, True, note="feeds bf16 deconv")
+    h7 = 2 * h
+    site("deconv7 (bf16)",
+         B * h * h * 8 * K * 2 + B * h7 * h7 * 4 * K * 2,
+         [(2 * B * h7 * h7 * 4 * K * 8 * K, 8 * K, False)])
+    site("crop skip3 (s8)", 2 * B * h7 * h7 * 4 * K, [])
+    h = conv("conv7_1 dual split (s8+bf16)", h7, 4 * K, 4 * K, 9,
+             "s8", "s8", 9 * 4 * K, True,
+             extra_writes=B * h7 * h7 * 4 * K,
+             note="skip half s8-resident")
+    h = conv("conv7_2 (XLA s8->bf16)", h, 4 * K, 4 * K, 9, "s8",
+             "bf16", 9 * 4 * K, True, note="feeds the packed up2")
+
+    # ---------------- packed decoder (pf/pf2) ----------------------------
+    # up2: 2x2/2 deconv as one matmul into packed layout (84 -> packed 84)
+    site("up2 matmul (bf16)",
+         B * h * h * 4 * K * 2 + B * h * h * 8 * K * 2,
+         [(2 * B * h * h * 4 * K * 8 * K, 4 * K, False)])
+    # c8_1 dual: skip = c2_2 resident s8 (crop rides the kernel), up bf16
+    hq = conv("c8_1 dual (pf s8+bf16)", h, 2 * c2, 2 * K * 4, 4,
+              "s8", "s8", 2 * c2, True, note="crop-folded skip")
+    hq = conv("c8_2 (pf s8->bf16)", hq, c2, c2, 4, "s8", "bf16",
+              2 * c2, True)
+    # up1: pf2 masked-slot deconv (82 -> 164 packed), 4x K tax
+    hu = 2 * hq
+    site("up1 deconv pf2 (bf16)",
+         B * hq * hq * c2 * 2 + B * hu * hu * c1 * 2,
+         [(2 * B * hu * hu * c1 * c2 * 4, c2, False)],
+         "masked-slot dots: 4x K formulation tax")
+    hq = conv("c9_1 dual pf2 (s8+bf16)", hu, 2 * c1, c1, 4, "s8",
+              "s8", 2 * c1, True, note="crop-folded level-1 skip")
+    # c9_2 + fused nc=2 head: mask-only output (u8), no conv out write
+    site("c9_2+head pf2 (mask only)",
+         B * hq * hq * c1 * 1 + B * (2 * (hq - 1)) ** 2 * 1,
+         [(2 * B * (hq - 1) ** 2 * c1 * c1 * 4, 2 * c1, True),
+          (2 * B * (hq - 1) ** 2 * c1 * 2 * 4, c1, False)],
+         "head rides the epilogue")
+
+    # ---------------- report ---------------------------------------------
     tot = 0.0
-    print(f"{'site':34s} {'GB':>6s} {'ms(bw)':>7s} {'ms(mxu)':>8s} "
+    tax = 0.0
+    print(f"{'site':36s} {'GB':>6s} {'ms(bw)':>7s} {'ms(mxu)':>8s} "
           f"{'ms(max)':>8s}")
-    for name, bytes_, flops, rate, *note in sites:
+    for name, bytes_, t_mx, note in SITES:
         t_bw = bytes_ / BW * 1e3
-        t_mx = (flops / rate * 1e3) if flops else 0.0
         t = max(t_bw, t_mx)
         tot += t
-        print(f"{name:34s} {bytes_ / 1e9:6.2f} {t_bw:7.2f} {t_mx:8.2f} "
-              f"{t:8.2f}  {note[0] if note else ''}")
-    print(f"\nroofline step = {tot:.1f} ms  ->  {B / tot * 1e3:.0f} img/s "
-          f"(B={B})")
-    print("measured r3: device 55.9 ms = 2290 img/s device-bound; "
-          "wall 59.5 = 2150 (B=128), 115.7 = 2212 (B=256)")
+        if "tax" in note:
+            ideal = (0.0 if "relayout" in name
+                     else max(t_bw, t_mx / 4))  # drop the 4x K tax
+            tax += t - ideal
+        print(f"{name:36s} {bytes_ / 1e9:6.2f} {t_bw:7.2f} {t_mx:8.2f} "
+              f"{t:8.2f}  {note}")
+    print(f"\nformulation roofline = {tot:.1f} ms -> "
+          f"{B / tot * 1e3:.0f} img/s (B={B})")
+    print(f"w/o known formulation taxes = {tot - tax:.1f} ms -> "
+          f"{B / (tot - tax) * 1e3:.0f} img/s")
 
 
 if __name__ == "__main__":
