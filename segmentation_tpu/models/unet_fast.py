@@ -985,6 +985,20 @@ class UNetS2DInference:
         )
         return PadFlat(y, up.h - 1, up.w - 1, up.s)
 
+    # 4-D-path deconv hooks (the int8 subclass records calibration here
+    # and dequantizes resident inputs hitting this float fallback)
+    def _deconv4_matmul(self, p, up, h, width):
+        return deconv2_as_matmul_flat(
+            h, p[f"{up}/wm"], p[f"{up}/b"], width,
+            pallas=self.allow_pallas,
+        )
+
+    def _deconv4_packed(self, p, up, h, width):
+        return deconv2_packed_in_flat(
+            h, p[f"{up}/wm"], p[f"{up}/b"], width,
+            pallas=self.allow_pallas,
+        )
+
     def _pf_deconv_matmul(self, p, up, h4, width) -> PadFlat:
         """2×2/2 transposed conv, std 4-D input → PadFlat packed."""
         from segmentation_tpu.nn.pallas import conv_flat as cf
@@ -1251,15 +1265,9 @@ class UNetS2DInference:
             width = k * (2**lvl)
             if lvl < pl_:
                 if packed:  # previous packed level stayed packed
-                    h4 = deconv2_packed_in_flat(
-                        h, p[f"{up}/wm"], p[f"{up}/b"], width,
-                        pallas=self.allow_pallas,
-                    )
+                    h4 = self._deconv4_packed(p, up, h, width)
                 else:
-                    h4 = deconv2_as_matmul_flat(
-                        h, p[f"{up}/wm"], p[f"{up}/b"], width,
-                        pallas=self.allow_pallas,
-                    )
+                    h4 = self._deconv4_matmul(p, up, h, width)
                 th, tw = h4.shape[1] * 2, h4.shape[2] * 2
                 sk = skip if kind == "packed" else flat4(pack2(skip))
                 sh, sw = sk.shape[1] * 2, sk.shape[2] * 2

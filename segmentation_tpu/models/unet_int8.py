@@ -59,6 +59,15 @@ def _quant_act(x: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(xq, -127, 127).astype(jnp.int8)
 
 
+def _quantize_matrix(w: np.ndarray):
+    """[K, O] matmul weight (e.g. the deconv's pre-packed wm [C, 4O]) →
+    (int8 weights, per-O float scales)."""
+    w = np.asarray(w, np.float32)
+    s = np.maximum(np.max(np.abs(w), axis=0) / 127.0, 1e-8)
+    wq = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+    return wq, s.astype(np.float32)
+
+
 def int8_conv(x, wq, w_scale, act_scale, b, relu=True, strides=(1, 1),
               out_scale=None):
     """Standard-layout int8 VALID conv with float rescale epilogue.
@@ -169,9 +178,30 @@ def int8_strided_conv(x, wq, w_scale, act_scale, b, relu=True):
 
 @dataclasses.dataclass
 class UNetS2DInt8(UNetS2DInference):
-    """Quantized variant: every 3×3 conv site runs int8 (calibrated);
-    deconvs and the 1×1 head stay bf16 (tiny FLOP share). Everything else —
-    topology, packing, serving paths — inherits from UNetS2DInference."""
+    """Quantized variant: every 3×3 conv site runs int8 (calibrated),
+    and the packed-decoder deconvs run int8 too (their masked-slot dots
+    halve at the int8 MXU rate, and the producer/consumer requant passes
+    fold away — see quant_deconvs); the std deconvs and the 1×1 head
+    stay bf16 (tiny FLOP share). Everything else — topology, packing,
+    serving paths — inherits from UNetS2DInference."""
+
+    # int8 packed-decoder deconvs: the producing decoder _2 conv emits
+    # s8 at the deconv's calibrated input scale, the deconv's epilogue
+    # requantizes at its consumer dual's b-side scale — the whole packed
+    # decoder stays int8-resident. False = deconvs bf16 (round-2 layout).
+    quant_deconvs: bool = True
+
+    def _deconv_names(self):
+        """The packed-decoder upconv sites eligible for int8 (their
+        input and output both live inside the quantized region)."""
+        if not self.quant_deconvs:
+            return []
+        L, pl_ = self.levels, self.packed_levels
+        return [
+            f"upconv{i + 1}"
+            for i, lvl in enumerate(reversed(range(L)))
+            if lvl < pl_
+        ]
 
     def _std_conv_names(self):
         """The non-packed 3×3 conv sites (deeper encoder/decoder levels +
@@ -235,13 +265,19 @@ class UNetS2DInt8(UNetS2DInference):
                 wq, ws = _quantize_weight(ws_)
                 prepared[f"{name}/wq_{half}"] = jnp.asarray(wq)
                 prepared[f"{name}/wscale_{half}"] = jnp.asarray(ws)
+        deconvs = self._deconv_names()
+        for name in deconvs:
+            wq, ws = _quantize_matrix(np.asarray(prepared[f"{name}/wm"]))
+            prepared[f"{name}/wqm"] = jnp.asarray(wq)
+            prepared[f"{name}/wscale"] = jnp.asarray(ws)
 
         # Calibrate activation scales by running the float path and
         # recording abs-max at each quantized site. WITHOUT calibration
         # batches no activation scales are written and every site falls back
         # to the float path (uncalibrated int8 would be garbage).
         if len(calib_batches):
-            sites = (entry + packed + std + [f"{n}@b" for n in dual]
+            sites = (entry + packed + std + deconvs
+                     + [f"{n}@b" for n in dual]
                      + [f"{n}@b" for n in std_dual])
             dual_a = dual | set(std_dual)
 
@@ -308,12 +344,24 @@ class UNetS2DInt8(UNetS2DInference):
         succ[f"conv{L + 1}_1"] = f"conv{L + 1}_2"
         for i in range(L):
             # decoder _1 → _2 (packed and std alike); _2 decoder convs
-            # feed a deconv (bf16) or the head
+            # feed a deconv (bf16 for std levels; int8 when the next
+            # level's deconv is quantized) or the head
             succ[f"conv{L + 2 + i}_1"] = f"conv{L + 2 + i}_2"
+        if self.quant_deconvs:
+            for i in range(L):
+                if 0 <= L - 2 - i < pl_:  # the next up is packed-decoder
+                    succ[f"conv{L + 2 + i}_2"] = f"upconv{i + 2}"
+            for j, lvl in enumerate(reversed(range(L))):
+                if lvl < pl_:
+                    # the deconv requantizes at its consumer dual's
+                    # b-side scale
+                    succ[f"upconv{j + 1}"] = f"conv{L + 2 + j}_1@b"
         nxt = succ.get(name)
         if nxt is None:
             return None
-        sc = p.get(f"{nxt}/ascale")
+        key = (f"{nxt[:-2]}/ascale_b" if nxt.endswith("@b")
+               else f"{nxt}/ascale")
+        sc = p.get(key)
         return None if sc is None else float(sc)
 
     def _in_scale_of(self, p, name, side=None):
@@ -664,8 +712,9 @@ class UNetS2DInt8(UNetS2DInference):
         q = {
             "chan_scale_a": p[f"{name}/wscale_a"] * skip_s,
             "chan_scale_b": p[f"{name}/wscale_b"] * asb,
-            "act_scale_b": asb,  # the (bf16) deconv side
         }
+        if up.dtype != jnp.int8:  # bf16 deconv side quantizes inline;
+            q["act_scale_b"] = asb  # int8 deconvs arrive resident at asb
         if sk.dtype != jnp.int8:
             q["act_scale_a"] = skip_s
         out_s = self._out_scale_of(p, name)
@@ -688,6 +737,83 @@ class UNetS2DInt8(UNetS2DInference):
             a_offset=a_offset, a_slot_phase=a_slot_phase, quant=q,
         )
         return PadFlat(y, up.h - 1, up.w - 1, up.s)
+
+    # ---- packed-decoder deconvs (int8) --------------------------------
+    def _deconv_quant(self, p, up, in_dtype):
+        """(quant dict, input scale) for a quantized deconv site, or
+        (None, None) when the site is not calibrated."""
+        if f"{up}/wqm" not in p:
+            return None, None
+        in_s = self._in_scale_of(p, up)
+        if in_s is None:
+            return None, None
+        q = {"chan_scale": p[f"{up}/wscale"] * in_s}
+        if in_dtype != jnp.int8:
+            q["act_scale"] = in_s
+        out_s = self._out_scale_of(p, up)
+        if out_s is not None:
+            q["out_scale"] = out_s
+        return q, in_s
+
+    def _pf_deconv_matmul(self, p, up, h4, width):
+        from segmentation_tpu.models.unet_fast import PadFlat, pf_from4
+        from segmentation_tpu.nn.pallas import conv_flat as cf
+
+        q, _ = self._deconv_quant(p, up, h4.dtype)
+        if q is None:
+            if h4.dtype == jnp.int8:  # resident input, float deconv
+                h4 = h4.astype(jnp.bfloat16) * self._in_scale_of(p, up)
+            return super()._pf_deconv_matmul(p, up, h4, width)
+        pf = pf_from4(h4, self._pf_tile())
+        y = cf.matmul_rows_padflat(
+            pf.x, p[f"{up}/wqm"], _tile4(p[f"{up}/b"]), relu=True,
+            quant=q,
+        )
+        return PadFlat(y, pf.h, pf.w, pf.s)
+
+    def _pf_deconv_packed(self, p, up, pf, width, pf2_out=False):
+        from segmentation_tpu.models.unet_fast import (
+            PF2, PadFlat, _pf_stride,
+        )
+        from segmentation_tpu.nn.pallas import conv_flat as cf
+
+        q, in_s = self._deconv_quant(p, up, pf.dtype)
+        if q is None:
+            if pf.dtype == jnp.int8:  # resident input, float deconv
+                in_s = self._in_scale_of(p, up)
+                xq = pf.x.astype(jnp.bfloat16) * in_s
+                pf = (PF2(xq, pf.h, pf.w, pf.s2) if isinstance(pf, PF2)
+                      else PadFlat(xq, pf.h, pf.w, pf.s))
+            return super()._pf_deconv_packed(p, up, pf, width, pf2_out)
+        if pf2_out:
+            y = cf.deconv_packed_padflat(
+                pf.x, p[f"{up}/wqm"], _tile4(p[f"{up}/b"]),
+                i_in=pf.h, j_in=pf.w, s_i=pf.s, relu=True, pf2_out=True,
+                quant=q,
+            )
+            return PF2(y, 2 * pf.h, 2 * pf.w, pf.s)
+        s_out = _pf_stride(2 * pf.w, self._pf_tile())
+        y = cf.deconv_packed_padflat(
+            pf.x, p[f"{up}/wqm"], _tile4(p[f"{up}/b"]), i_in=pf.h,
+            j_in=pf.w, s_i=pf.s, s_out=s_out, relu=True, quant=q,
+        )
+        return PadFlat(y, 2 * pf.h, 2 * pf.w, s_out)
+
+    # 4-D-path deconv hooks: record calibration abs-max of the deconv
+    # input; a resident int8 input hitting this float fallback dequants
+    def _deconv4_matmul(self, p, up, h, width):
+        if self._calibrating is not None and f"{up}/wqm" in p:
+            self._record(up, h)
+        elif h.dtype == jnp.int8:
+            h = h.astype(jnp.bfloat16) * self._in_scale_of(p, up)
+        return super()._deconv4_matmul(p, up, h, width)
+
+    def _deconv4_packed(self, p, up, h, width):
+        if self._calibrating is not None and f"{up}/wqm" in p:
+            self._record(up, h)
+        elif h.dtype == jnp.int8:
+            h = h.astype(jnp.bfloat16) * self._in_scale_of(p, up)
+        return super()._deconv4_packed(p, up, h, width)
 
     def _std_conv(self, p, name, h, relu=True):
         quantized = f"{name}/wq" in p and name in self._std_names_cache

@@ -495,3 +495,74 @@ def test_conv2x2_dual_pf2_int8(np_rng, col_off):
     want8 = jnp.clip(jnp.round(want / 0.07), -127, 127)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want8),
                                atol=1.01)
+
+
+def test_deconv_pf2_out_int8_resident(np_rng):
+    """up1's serving config: resident int8 input (no act_scale), int8
+    weights, requant epilogue (out_scale) emitting pf2 int8 directly."""
+    from segmentation_tpu.models.unet_fast import deconv2_packed_in_flat
+    from segmentation_tpu.nn.pallas.conv_flat import (
+        deconv_packed_padflat, unpad_pairs,
+    )
+
+    i_in, j_in, c, o = 9, 11, 64, 32
+    in_s, w_s, out_s = 1 / 8.0, 0.05, 1 / 4.0
+    xq = jnp.clip(
+        jnp.round(jnp.asarray(np_rng.normal(size=(2, i_in, j_in, 4 * c)),
+                              jnp.float32) * 8), -127, 127
+    ).astype(jnp.int8)
+    wq = jnp.clip(
+        jnp.round(jnp.asarray(np_rng.normal(size=(c, 4 * o)),
+                              jnp.float32)), -127, 127
+    ).astype(jnp.int8)
+    b = jnp.asarray(np_rng.normal(size=(o,)), jnp.float32)
+    want = deconv2_packed_in_flat(
+        xq.astype(jnp.float32) * in_s, wq.astype(jnp.float32) * w_s, b,
+        o, pallas=False,
+    )
+    want_q = np.clip(np.round(np.asarray(want) / out_s), 0, 127)
+
+    s_i = stride_for(j_in, jnp.int8)
+    xf = pad_rows(xq, s_i)
+    q = {
+        "chan_scale": jnp.full((4 * o,), w_s * in_s, jnp.float32),
+        "out_scale": jnp.float32(out_s),
+    }
+    got = deconv_packed_padflat(
+        xf, wq, jnp.tile(b, 4), i_in=i_in, j_in=j_in, s_i=s_i,
+        r_block=4, pf2_out=True, quant=q, interpret=True,
+    )
+    assert got.dtype == jnp.int8
+    got = unpad_pairs(got, s_i, 2 * i_in, 2 * j_in)
+    diff = np.abs(np.asarray(got, np.float32) - want_q)
+    assert diff.max() <= 1.0, diff.max()  # one rounding step
+
+
+def test_matmul_rows_int8_resident(np_rng):
+    """up2's serving config: resident int8 input through the rowwise
+    deconv matmul with the requant epilogue."""
+    in_s, w_s, out_s = 1 / 8.0, 0.05, 1 / 4.0
+    c, o = 128, 128
+    xq = jnp.clip(
+        jnp.round(jnp.asarray(np_rng.normal(size=(2, 40, c)),
+                              jnp.float32) * 8), -127, 127
+    ).astype(jnp.int8)
+    wq = jnp.clip(
+        jnp.round(jnp.asarray(np_rng.normal(size=(c, o)), jnp.float32)),
+        -127, 127,
+    ).astype(jnp.int8)
+    b = jnp.asarray(np_rng.normal(size=(o,)), jnp.float32)
+    want = jax.nn.relu(
+        jnp.dot(xq.astype(jnp.float32) * in_s,
+                wq.astype(jnp.float32) * w_s) + b
+    )
+    want_q = np.clip(np.round(np.asarray(want) / out_s), 0, 127)
+    q = {
+        "chan_scale": jnp.full((o,), w_s * in_s, jnp.float32),
+        "out_scale": jnp.float32(out_s),
+    }
+    got = matmul_rows_padflat(xq, wq, b, relu=True, quant=q,
+                              interpret=True)
+    assert got.dtype == jnp.int8
+    diff = np.abs(np.asarray(got, np.float32) - want_q)
+    assert diff.max() <= 1.0, diff.max()
