@@ -909,6 +909,30 @@ class UNetS2DInference:
         y = y + tile_bias4(p[f"{name}/b"]).astype(y.dtype)
         return jax.nn.relu(y), w_out
 
+    def _pf_entry_fused(self, p, name, x):
+        """One-kernel pf2 entry (3×3 conv + s2d fold fused, bf16): no
+        XLA conv, no relayout copy of the region's biggest tensor; None
+        = use the two-step XLA entry. The int8 subclass adds the requant
+        epilogue (conv_flat.conv3entry_pf2 modes)."""
+        from segmentation_tpu.nn.pallas import conv_flat as cf
+
+        w = x.shape[2]
+        if (
+            f"{name}/we" not in p
+            or not self.allow_pallas
+            or not _pallas_backend_ok()
+            or os.environ.get("SEG_TPU_FUSED_ENTRY", "1") == "0"
+            or w % 4
+            or (w // 4) % 32
+        ):
+            return None
+        xt = cf.entry_transform_pf2(x)  # keeps the caller's dtype
+        y = cf.conv3entry_pf2(
+            xt, p[f"{name}/we"], p[f"{name}/wh"], p[f"{name}/wl"],
+            tile_bias4(p[f"{name}/b"]), h_img=x.shape[1],
+        )
+        return PF2(y, (x.shape[1] - 2) // 2, (w - 2) // 2, w // 4)
+
     def _pf_conv_pool(self, p, name, pf, relu=True):
         from segmentation_tpu.nn.pallas import conv_flat as cf
 
@@ -1056,11 +1080,14 @@ class UNetS2DInference:
         for lvl in range(pl_):
             c1, c2 = f"conv{lvl + 1}_1", f"conv{lvl + 1}_2"
             if lvl == 0:
-                h4, w_real = self._pf_entry_conv(p, c1, x, t)
-                pf = self._pf_entry(p, c2, h4, pf2=use_pf2)
-                if pf.w != w_real:  # stride-padded entry: fix real width
-                    pf = (PF2(pf.x, pf.h, w_real, pf.s2) if use_pf2
-                          else PadFlat(pf.x, pf.h, w_real, pf.s))
+                pf = (self._pf_entry_fused(p, c1, x) if use_pf2
+                      else None)
+                if pf is None:
+                    h4, w_real = self._pf_entry_conv(p, c1, x, t)
+                    pf = self._pf_entry(p, c2, h4, pf2=use_pf2)
+                    if pf.w != w_real:  # stride-padded entry: fix width
+                        pf = (PF2(pf.x, pf.h, w_real, pf.s2) if use_pf2
+                              else PadFlat(pf.x, pf.h, w_real, pf.s))
             else:
                 pf = self._pf_strided(p, c1, pfp)
             conv_pf, pool_pf = self._pf_conv_pool(p, c2, pf)
@@ -1197,6 +1224,19 @@ class UNetS2DInference:
                 out[f"{up}/wm"] = jnp.asarray(
                     np.transpose(w, (2, 0, 1, 3)).reshape(c, 4 * o)
                 )
+        if pl_ and (4 * self.cfg.n_kernels) % 128 == 0:
+            # fused pf2 entry taps (conv_flat.conv3entry_pf2)
+            from segmentation_tpu.nn.pallas.conv_flat import (
+                entry_weights_pf2,
+            )
+
+            for key, arr in zip(
+                ("we", "wh", "wl"),
+                entry_weights_pf2(
+                    np.asarray(params["conv1_1/w"], np.float32)
+                ),
+            ):
+                out[f"conv1_1/{key}"] = jnp.asarray(arr, jnp.bfloat16)
         return out
 
     def apply(self, prepared: Dict[str, jnp.ndarray], x: jnp.ndarray,

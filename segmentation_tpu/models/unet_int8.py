@@ -270,6 +270,10 @@ class UNetS2DInt8(UNetS2DInference):
             wq, ws = _quantize_matrix(np.asarray(prepared[f"{name}/wm"]))
             prepared[f"{name}/wqm"] = jnp.asarray(wq)
             prepared[f"{name}/wscale"] = jnp.asarray(ws)
+        # (fused pf2 entry taps are built by the base prepare — the int8
+        # hook reuses them in bf16 compute with an int8 requant epilogue:
+        # input quantization would cost mask accuracy for nothing, since
+        # at K=48 the int8 MXU rate equals bf16's)
 
         # Calibrate activation scales by running the float path and
         # recording abs-max at each quantized site. WITHOUT calibration
@@ -625,6 +629,40 @@ class UNetS2DInt8(UNetS2DInference):
         if out_s is not None:
             q["out_scale"] = out_s
         return q, in_s
+
+    def _pf_entry_fused(self, p, name, x):
+        """One-kernel pf2 entry: pair-major transform of the raw bf16
+        input, then conv3entry_pf2 does 3×3 conv + s2d fold + requant in
+        one pass — no XLA conv, no relayout copy of the region's biggest
+        tensor, bit-comparable to the two-step path (bf16 compute, same
+        requant scale)."""
+        from segmentation_tpu.models.unet_fast import (
+            PF2, _pallas_backend_ok,
+        )
+        from segmentation_tpu.nn.pallas import conv_flat as cf
+
+        import os
+
+        out_s = self._out_scale_of(p, name)
+        w = x.shape[2]
+        if (
+            f"{name}/we" not in p
+            or out_s is None
+            or self._calibrating is not None
+            or not self.allow_pallas
+            or not _pallas_backend_ok()
+            or os.environ.get("SEG_TPU_FUSED_ENTRY", "1") == "0"
+            or w % 4
+            or (w // 4) % 32
+        ):
+            return None
+        xt = cf.entry_transform_pf2(x)  # keeps the caller's dtype
+        y = cf.conv3entry_pf2(
+            xt, p[f"{name}/we"], p[f"{name}/wh"], p[f"{name}/wl"],
+            _tile4(p[f"{name}/b"]), h_img=x.shape[1],
+            quant={"out_scale": out_s},
+        )
+        return PF2(y, (x.shape[1] - 2) // 2, (w - 2) // 2, w // 4)
 
     def _pf_entry(self, p, name_next, h4, pf2=False):
         # quantize the XLA entry conv's bf16 output at its consumer's

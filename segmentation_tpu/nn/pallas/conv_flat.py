@@ -1405,3 +1405,170 @@ def conv2x2_dual_pf2(xa, xb, wa, wb, b, *, h: int, w_real: int, s2: int,
         scratch_shapes=[pltpu.VMEM(((r_block + 1) * s2, c2), cdt)],
         interpret=_interp(interpret),
     )(*parts, *([xa] * n_a), xb, xb)
+
+
+# ------------------------------------------------------- fused pf2 entry
+# The level-1 entry (3×3 conv + stride-2 s2d fold + quantize) as ONE
+# Pallas kernel writing the pf2 layout directly. This deletes the two
+# costs of the XLA entry region: the batch-in-lanes conv's low MFU and
+# the output relayout copy into padflat (~2.6 ms at 512²/B=128 — the
+# conv output is the region's biggest bf16 tensor).
+#
+# Key observation: after the host-side pair-major transform
+#   xt[n, 12·row + t, g] = x[n, row, 4g + t//3, t%3]
+# an EVEN output column c = 2p reads exactly group p (real cols
+# 4p..4p+3 = lane p, taps t = 3·(dx+kx)+ch ∈ 0..11 in sublanes), so the
+# conv is one K=48 dot contracting SUBLANES (4 rows × 12 taps) with the
+# group index riding the lanes; odd columns read taps 6..11 of group p
+# plus taps 0..5 of group p+1 — a second dot plus a sublane roll of the
+# int32 product. No im2col materialization anywhere (the earlier
+# im2col-dot entry lost ~13 ms to XLA relayouts of the 16×-expanded
+# taps; the transform here moves the raw 1-byte input once).
+#
+# Reference semantics: the standard 3×3 SAME-free (VALID) entry conv of
+# the UNet encoder (/root/reference/models/unet.py:117-126), fused with
+# this repo's s2d packing.
+
+
+def entry_weights_pf2(w3: np.ndarray):
+    """[3, 3, 3, O] entry conv weight → (we, wh, wl) [48, 4O] operands
+    for the fused pf2 entry kernel (same dtype as w3)."""
+    kh, kw, ci, o = w3.shape
+    assert (kh, kw, ci) == (3, 3, 3), w3.shape
+    we = np.zeros((48, 4 * o), w3.dtype)
+    wh = np.zeros((48, 4 * o), w3.dtype)
+    wl = np.zeros((48, 4 * o), w3.dtype)
+    for dy in range(2):
+        for dx in range(2):
+            s = 2 * dy + dx
+            for ky in range(3):
+                for kx in range(3):
+                    for ch in range(3):
+                        row = (dy + ky) * 12
+                        col = slice(s * o, (s + 1) * o)
+                        v = w3[ky, kx, ch]
+                        we[row + 3 * (dx + kx) + ch, col] += v
+                        q = 2 + dx + kx  # odd column: real col offset
+                        if q <= 3:
+                            wh[row + 3 * q + ch, col] += v
+                        else:
+                            wl[row + 3 * (q - 4) + ch, col] += v
+    return we, wh, wl
+
+
+def entry_transform_pf2(x: jnp.ndarray) -> jnp.ndarray:
+    """[N, H, W, 3] → [N, H·12, W//4] pair-major transform (the only
+    XLA-side data movement the fused entry needs; quantize the input
+    FIRST so the transpose moves 1-byte codes)."""
+    n, h, w, c = x.shape
+    assert c == 3 and w % 4 == 0, x.shape
+    xt = x.reshape(n, h, w // 4, 12)
+    return jnp.swapaxes(xt, 2, 3).reshape(n, h * 12, w // 4)
+
+
+def _conv3entry_pf2_kernel(r_block, g, o4, relu, out_dtype, in_int8,
+                           has_cs, has_oi, *refs):
+    we, wh, wl, bias = refs[0:4]
+    k = 4
+    chan_scale = out_inv = None
+    if has_cs:
+        chan_scale = refs[k]; k += 1
+    if has_oi:
+        out_inv = refs[k]; k += 1
+    xm_ref, xn_ref = refs[k], refs[k + 1]
+    out = refs[k + 2]
+    pref = jnp.int32 if in_int8 else jnp.float32
+    dn = (((0,), (0,)), ((), ()))  # contract sublanes of both operands
+    xa = jnp.concatenate([xm_ref[0], xn_ref[0]], axis=0)
+    for r in range(r_block):
+        blk = xa[24 * r : 24 * r + 48]  # 4 image rows × 12 taps
+        qe = jax.lax.dot_general(blk, we[:], dn,
+                                 preferred_element_type=pref)
+        qh = jax.lax.dot_general(blk, wh[:], dn,
+                                 preferred_element_type=pref)
+        ql = jax.lax.dot_general(blk, wl[:], dn,
+                                 preferred_element_type=pref)
+        qo = qh + _rolldn(ql, 1)  # odd col p also reads group p+1
+        out[0, r * g : (r + 1) * g, 0:o4] = _epilogue(
+            qe, bias, relu, out_dtype, chan_scale, out_inv
+        )
+        out[0, r * g : (r + 1) * g, o4 : 2 * o4] = _epilogue(
+            qo, bias, relu, out_dtype, chan_scale, out_inv
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h_img", "relu", "r_block", "interpret"),
+)
+def conv3entry_pf2(xt, we, wh, wl, b, *, h_img: int, relu: bool = True,
+                   r_block: Optional[int] = None, quant=None,
+                   interpret: bool = False):
+    """Fused entry: pair-major input [N, H·12, G=W//4] → pf2 packed
+    output [N, nb·R·G, 2·4O] (real (H-2)//2 packed rows × W//4 pair
+    stride; the odd column of the last pair is junk).
+
+    Modes: bf16 in + no quant → bf16 out; bf16 in + {out_scale} →
+    EXACT-as-bf16 compute with the requant fused into the epilogue
+    (the serving default — input quantization would cost mask accuracy
+    for nothing: at K=48 the int8 MXU rate equals bf16's); int8 in +
+    {chan_scale, out_scale} → full int8 path (u8-native image serving,
+    where the input has no more than 8 bits anyway)."""
+    n, h12, g = xt.shape
+    assert h12 == 12 * h_img, (h12, h_img)
+    o4 = we.shape[-1]
+    assert o4 % 128 == 0 and g % 32 == 0, (o4, g)
+    h_out = (h_img - 2) // 2
+    if r_block is None:
+        r_block = _auto_r(h_out, 8)
+    r_block = max(1, min(r_block, h_out))
+    nb = pl.cdiv(h_out, r_block)
+    grid = (n, nb)
+    in_int8 = xt.dtype == jnp.int8
+    has_cs = quant is not None and "chan_scale" in quant
+    has_oi = quant is not None and "out_scale" in quant
+    out_dtype = jnp.int8 if has_oi else (
+        jnp.bfloat16 if in_int8 else xt.dtype
+    )
+    extra_parts, extra_specs = [], []
+    if has_cs:
+        extra_parts.append(jnp.asarray(quant["chan_scale"], jnp.float32))
+        extra_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if has_oi:
+        arr, spec = _smem_scalar(1.0 / quant["out_scale"])
+        extra_parts.append(arr)
+        extra_specs.append(spec)
+    wdt = xt.dtype if not in_int8 else jnp.int8
+    we, wh, wl = (v if v.dtype == jnp.int8 else v.astype(wdt)
+                  for v in (we, wh, wl))
+    parts = [we, wh, wl, b.astype(jnp.float32)] + extra_parts
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+                + extra_specs)
+    in_specs += [
+        # main: image rows 2r0 .. 2r0+2R-1 (one block = 24R flat rows)
+        pl.BlockSpec((1, 24 * r_block, g), lambda n_, i: (n_, i, 0),
+                     memory_space=pltpu.VMEM),
+        # next: image rows 2r0+2R, +1 (last output row's bottom taps)
+        pl.BlockSpec(
+            (1, 24, g),
+            lambda n_, i: (
+                n_, jnp.minimum(r_block * (i + 1), h_img // 2 - 1), 0
+            ),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    kernel = functools.partial(
+        _conv3entry_pf2_kernel, r_block, g, o4, relu, out_dtype,
+        in_int8, has_cs, has_oi,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, nb * r_block * g, 2 * o4),
+                                       out_dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, r_block * g, 2 * o4),
+                               lambda n_, i: (n_, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interp(interpret),
+    )(*parts, xt, xt)

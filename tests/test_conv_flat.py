@@ -566,3 +566,117 @@ def test_matmul_rows_int8_resident(np_rng):
     assert got.dtype == jnp.int8
     diff = np.abs(np.asarray(got, np.float32) - want_q)
     assert diff.max() <= 1.0, diff.max()
+
+
+def _entry_oracle(x, w3, b, relu=True):
+    from segmentation_tpu.models.unet_fast import (
+        pack_conv3_weight_s2, tile_bias4,
+    )
+
+    w4 = jnp.asarray(pack_conv3_weight_s2(np.asarray(w3, np.float32)))
+    y = lax.conv_general_dilated(
+        x.astype(jnp.float32), w4, (2, 2), "VALID", dimension_numbers=_DN
+    ) + tile_bias4(jnp.asarray(b, jnp.float32))
+    return jax.nn.relu(y) if relu else y
+
+
+def test_conv3entry_pf2_parity(np_rng):
+    """Fused pf2 entry (float mode) == the 4x4/2 packed entry conv."""
+    from segmentation_tpu.nn.pallas.conv_flat import (
+        conv3entry_pf2, entry_transform_pf2, entry_weights_pf2,
+        unpad_pairs,
+    )
+
+    h_img, w_img, o = 18, 512, 32
+    x = jnp.asarray(np_rng.normal(size=(2, h_img, w_img, 3)),
+                    jnp.float32)
+    w3 = np.asarray(np_rng.normal(size=(3, 3, 3, o)) * 0.2, np.float32)
+    b = np_rng.normal(size=(o,)).astype(np.float32)
+    want = _entry_oracle(x, w3, b)
+
+    we, wh, wl = map(jnp.asarray, entry_weights_pf2(w3))
+    xt = entry_transform_pf2(x)
+    got = conv3entry_pf2(
+        xt, we, wh, wl, jnp.tile(jnp.asarray(b), 4), h_img=h_img,
+        r_block=3, interpret=True,
+    )
+    h_out, w_out = (h_img - 2) // 2, (w_img - 2) // 2
+    got = unpad_pairs(got, w_img // 4, h_out, w_out)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_conv3entry_pf2_int8_resident(np_rng):
+    """Fused pf2 entry, serving config: int8 input codes, int8 weights,
+    requant epilogue -> int8 pf2 output."""
+    from segmentation_tpu.nn.pallas.conv_flat import (
+        conv3entry_pf2, entry_transform_pf2, entry_weights_pf2,
+        unpad_pairs,
+    )
+
+    h_img, w_img, o = 18, 512, 32
+    in_s, w_s, out_s = 1 / 100.0, 0.02, 1 / 16.0
+    xq = jnp.clip(
+        jnp.round(
+            jnp.asarray(np_rng.random(size=(2, h_img, w_img, 3)),
+                        jnp.float32) / in_s
+        ), -127, 127,
+    ).astype(jnp.int8)
+    wq3 = np.clip(
+        np.round(np_rng.normal(size=(3, 3, 3, o)) * 2), -127, 127
+    ).astype(np.int8)
+    b = np_rng.normal(size=(o,)).astype(np.float32) * 0.1
+    want = _entry_oracle(
+        xq.astype(jnp.float32) * in_s,
+        wq3.astype(np.float32) * w_s, b,
+    )
+    want_q = np.clip(np.round(np.asarray(want) / out_s), 0, 127)
+
+    we, wh, wl = map(jnp.asarray, entry_weights_pf2(wq3))
+    xt = entry_transform_pf2(xq)
+    q = {
+        "chan_scale": jnp.full((4 * o,), w_s * in_s, jnp.float32),
+        "out_scale": jnp.float32(out_s),
+    }
+    got = conv3entry_pf2(
+        xt, we, wh, wl, jnp.tile(jnp.asarray(b), 4), h_img=h_img,
+        r_block=3, quant=q, interpret=True,
+    )
+    assert got.dtype == jnp.int8
+    h_out, w_out = (h_img - 2) // 2, (w_img - 2) // 2
+    got = unpad_pairs(got, w_img // 4, h_out, w_out)
+    diff = np.abs(np.asarray(got, np.float32) - want_q)
+    assert diff.max() <= 1.0, diff.max()
+
+
+def test_conv3entry_pf2_bf16_requant(np_rng):
+    """Serving mode: bf16 taps/input, int8 requant epilogue — must equal
+    the two-step (bf16 entry conv, then quantize) within one code."""
+    from segmentation_tpu.nn.pallas.conv_flat import (
+        conv3entry_pf2, entry_transform_pf2, entry_weights_pf2,
+        unpad_pairs,
+    )
+
+    h_img, w_img, o = 18, 512, 32
+    out_s = 1 / 16.0
+    x = jnp.asarray(np_rng.random(size=(2, h_img, w_img, 3)),
+                    jnp.bfloat16)
+    w3 = np.asarray(np_rng.normal(size=(3, 3, 3, o)) * 0.2, np.float32)
+    b = np_rng.normal(size=(o,)).astype(np.float32) * 0.1
+    want = _entry_oracle(x, w3, b)
+    want_q = np.clip(np.round(np.asarray(want) / out_s), 0, 127)
+
+    we, wh, wl = (jnp.asarray(v, jnp.bfloat16)
+                  for v in entry_weights_pf2(w3))
+    xt = entry_transform_pf2(x)
+    got = conv3entry_pf2(
+        xt, we, wh, wl, jnp.tile(jnp.asarray(b), 4), h_img=h_img,
+        r_block=3, quant={"out_scale": jnp.float32(out_s)},
+        interpret=True,
+    )
+    assert got.dtype == jnp.int8
+    h_out, w_out = (h_img - 2) // 2, (w_img - 2) // 2
+    got = unpad_pairs(got, w_img // 4, h_out, w_out)
+    diff = np.abs(np.asarray(got, np.float32) - want_q)
+    assert diff.max() <= 1.0, diff.max()

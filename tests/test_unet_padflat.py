@@ -154,3 +154,64 @@ def test_pf_pair_free_and_copy_paths():
             2, 9, w // 2, 16
         )
         np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_padflat_int8_fused_entry(monkeypatch):
+    """256²: the fused pf2 entry gate engages (W//4 = 64 is stride-
+    aligned) and the one-kernel entry tracks the 4-D int8 path."""
+    from segmentation_tpu.models.unet_int8 import UNetS2DInt8
+
+    monkeypatch.setenv("SEG_PALLAS_INTERPRET", "1")
+    hw = (256, 256)
+    mcfg, params = _params(hw=hw)
+    x = _input(2, hw=hw)
+    calib = [_input(3, hw=hw)]
+
+    q_pf = UNetS2DInt8(mcfg, padflat=True)
+    prepared = q_pf.prepare(params, calib_batches=calib)
+    assert "conv1_1/we" in prepared
+    assert q_pf._pf2_ok(x)
+    assert q_pf._pf_entry_fused(prepared, "conv1_1", x) is not None
+
+    q_old = UNetS2DInt8(mcfg, padflat=False)
+    want = q_old.apply(prepared, x)
+    got = q_pf.apply(prepared, x)
+    assert got.shape == want.shape
+    mask_agree = (np.argmax(np.asarray(got), -1)
+                  == np.argmax(np.asarray(want), -1)).mean()
+    assert mask_agree > 0.99, mask_agree
+    corr = np.corrcoef(
+        np.asarray(want, np.float32).ravel(),
+        np.asarray(got, np.float32).ravel(),
+    )[0, 1]
+    assert corr > 0.99, corr
+
+
+def test_padflat_bf16_fused_entry(monkeypatch):
+    """256²: the bf16 padflat path also takes the one-kernel entry and
+    stays on the XLA-oracle parity chain."""
+    from segmentation_tpu.models.unet_fast import UNetS2DInference
+
+    monkeypatch.setenv("SEG_PALLAS_INTERPRET", "1")
+    hw = (256, 256)
+    mcfg, params = _params(hw=hw)
+    x = _input(2, hw=hw)
+
+    model = UNetS2DInference(mcfg)
+    prepared = model.prepare(params)
+    assert "conv1_1/we" in prepared
+    assert model._pf2_ok(x)
+    assert model._pf_entry_fused(prepared, "conv1_1", x) is not None
+    got = model.apply(prepared, x)
+
+    fwd = hk.transform(lambda xx: UNet(mcfg, levels=4)(xx))
+    _, st = fwd.init(jax.random.PRNGKey(0), x, train=False)
+    want, _ = fwd.apply(params, st, None, x, train=False)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+    agree = (np.argmax(np.asarray(got), -1)
+             == np.argmax(np.asarray(want), -1)).mean()
+    assert agree > 0.999, agree
