@@ -67,16 +67,16 @@ def conv(name, hw_in, ci, co, taps, in_dt, out_dt, kd, i8,
 
 def main():
     # ---------------- packed encoder (pf2, int8 resident) ----------------
-    # entry: XLA bf16 4x4/2 conv (3x3 folded to stride-2 s2d), s8 out
+    # entry: pair-major transform + fused pf2 entry kernel (bf16 compute,
+    # s8 requant out) — the XLA entry conv and its relayout copy are gone
     c1 = 4 * K  # flat channels, level 1
     h1 = 255
-    site("c1_1 entry conv (XLA bf16)",
+    site("entry pair-major transform", 2 * B * 512 * 512 * 3 * 2, [],
+         "raw input moved once (bf16)")
+    site("c1_1 fused entry (pallas bf16->s8)",
          B * 512 * 512 * 3 * 2 + B * h1 * h1 * c1 * 1,
          [(2 * B * h1 * h1 * c1 * 3 * 16, 48, False)],
-         "C=3: K=48, MXU-starved in practice")
-    site("entry->pf2 relayout copy", 2 * B * h1 * h1 * c1 * 1, [],
-         "formulation tax: XLA conv layout -> padflat (no producer "
-         "layout control)")
+         "K=48 dots; odd cols one extra dot + roll")
     # c1_2 + fused pool; conv out doubles as the level-1 skip
     h = conv("c1_2+pool (pf2 s8)", h1, c1, c1, 4, "s8", "s8",
              2 * c1, True,
@@ -137,25 +137,29 @@ def main():
              "s8", "s8", 9 * 4 * K, True,
              extra_writes=B * h7 * h7 * 4 * K,
              note="skip half s8-resident")
-    h = conv("conv7_2 (XLA s8->bf16)", h, 4 * K, 4 * K, 9, "s8",
-             "bf16", 9 * 4 * K, True, note="feeds the packed up2")
+    h = conv("conv7_2 (XLA s8)", h, 4 * K, 4 * K, 9, "s8",
+             "s8", 9 * 4 * K, True,
+             note="emits s8 at the quantized up2's scale")
 
     # ---------------- packed decoder (pf/pf2) ----------------------------
-    # up2: 2x2/2 deconv as one matmul into packed layout (84 -> packed 84)
-    site("up2 matmul (bf16)",
-         B * h * h * 4 * K * 2 + B * h * h * 8 * K * 2,
-         [(2 * B * h * h * 4 * K * 8 * K, 4 * K, False)])
+    # up2: 2x2/2 deconv as one matmul into packed layout (84 -> packed
+    # 84), int8 resident (conv7_2 emits s8 at the deconv's scale)
+    site("up2 matmul (s8)",
+         B * h * h * 4 * K * 1 + B * h * h * 8 * K * 1,
+         [(2 * B * h * h * 4 * K * 8 * K, 4 * K, True)])
     # c8_1 dual: skip = c2_2 resident s8 (crop rides the kernel), up bf16
     hq = conv("c8_1 dual (pf s8+bf16)", h, 2 * c2, 2 * K * 4, 4,
               "s8", "s8", 2 * c2, True, note="crop-folded skip")
-    hq = conv("c8_2 (pf s8->bf16)", hq, c2, c2, 4, "s8", "bf16",
-              2 * c2, True)
-    # up1: pf2 masked-slot deconv (82 -> 164 packed), 4x K tax
+    hq = conv("c8_2 (pf s8)", hq, c2, c2, 4, "s8", "s8",
+              2 * c2, True, note="emits s8 at the quantized up1's scale")
+    # up1: pf2 masked-slot deconv (82 -> 164 packed), int8 resident —
+    # the masked zero-padding pushes K to 4C=256 where the int8 rate
+    # halves the 4x-K tax
     hu = 2 * hq
-    site("up1 deconv pf2 (bf16)",
-         B * hq * hq * c2 * 2 + B * hu * hu * c1 * 2,
-         [(2 * B * hu * hu * c1 * c2 * 4, c2, False)],
-         "masked-slot dots: 4x K formulation tax")
+    site("up1 deconv pf2 (s8)",
+         B * hq * hq * c2 * 1 + B * hu * hu * c1 * 1,
+         [(2 * B * hu * hu * c1 * c2 * 4, c2 * 4, True)],
+         "masked-slot dots: 4x K formulation tax (halved at int8 rate)")
     hq = conv("c9_1 dual pf2 (s8+bf16)", hu, 2 * c1, c1, 4, "s8",
               "s8", 2 * c1, True, note="crop-folded level-1 skip")
     # c9_2 + fused nc=2 head: mask-only output (u8), no conv out write
