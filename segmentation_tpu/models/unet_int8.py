@@ -299,7 +299,12 @@ class UNetS2DInt8(UNetS2DInference):
             records: Dict[str, float] = {name: 0.0 for name in sites}
             try:
                 for x in calib_batches:
-                    rec = jax.device_get(jfwd(jnp.asarray(x)))
+                    # Calibrate at serving numerics: the deployed path is
+                    # bf16, and an f32 batch would also run the Pallas
+                    # region in f32 — doubling scoped-VMEM footprints past
+                    # the 16 MB stack limit (compile-time OOM at B=4 on
+                    # conv2x2_flat; seen live in bench.py round 3).
+                    rec = jax.device_get(jfwd(jnp.asarray(x, jnp.bfloat16)))
                     for name, v in rec.items():
                         records[name] = max(records[name], float(v))
             finally:

@@ -221,3 +221,29 @@ def test_std_levels_int8_resident():
     assert _has_int8_pool(jaxpr.jaxpr), (
         "encoder max pool does not run on int8 codes"
     )
+
+
+def test_calibration_runs_at_serving_numerics():
+    """An f32 calibration batch must produce the same activation scales as
+    the identical batch pre-cast to bf16: calibration runs at the deployed
+    (bf16) numerics. Regression: an f32 batch used to trace the whole
+    Pallas region in f32, doubling scoped-VMEM footprints past the 16 MB
+    stack limit (compile-time OOM on TPU, bench.py round 3)."""
+    hw = (204, 204)
+    mcfg = ModelConfig(n_classes=2, input_dims=hw, n_kernels=4)
+    model = UNet(mcfg, levels=4)
+    fwd = hk.transform(lambda x: model(x))
+    rng = np.random.default_rng(3)
+    xf = rng.normal(0.5, 0.2, (1, *hw, 3)).astype(np.float32)
+    params, _ = fwd.init(
+        jax.random.PRNGKey(0), jnp.asarray(xf), train=False
+    )
+    q = UNetS2DInt8(mcfg, levels=4)
+    p32 = q.prepare(params, calib_batches=[jnp.asarray(xf)])
+    p16 = q.prepare(
+        params, calib_batches=[jnp.asarray(xf, jnp.bfloat16)]
+    )
+    scales32 = {k: v for k, v in p32.items() if "ascale" in k}
+    assert scales32, "no activation scales recorded"
+    for k, v in scales32.items():
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(p16[k]))
