@@ -25,6 +25,7 @@ Usage:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, Sequence
 
 import jax
@@ -784,8 +785,11 @@ class UNetS2DInt8(UNetS2DInference):
     # ---- packed-decoder deconvs (int8) --------------------------------
     def _deconv_quant(self, p, up, in_dtype):
         """(quant dict, input scale) for a quantized deconv site, or
-        (None, None) when the site is not calibrated."""
-        if f"{up}/wqm" not in p:
+        (None, None) when the site is not calibrated.
+        SEG_TPU_INT8_DECONV=0 forces the float deconv path (A/B lever:
+        the int8 deconv saves HBM bytes but adds a requant epilogue)."""
+        if (f"{up}/wqm" not in p
+                or os.environ.get("SEG_TPU_INT8_DECONV", "1") == "0"):
             return None, None
         in_s = self._in_scale_of(p, up)
         if in_s is None:
