@@ -75,9 +75,17 @@ def _row_specs(n_rows: int, r_block: int, h_in: int, w: int, c: int):
     return [mk(u) for u in range(n_rows)]
 
 
-def _epilogue(acc, bias_ref, relu, out_dtype, chan_scale=None,
-              out_inv=None):
-    """acc (f32 or i32) -> y = acc*chan_scale + bias; relu; cast.
+def _epilogue_parts(acc, bias_ref, relu, out_dtype, chan_scale=None,
+                    out_inv=None):
+    """acc (f32 or i32) -> (y_pre f32, finish) with
+    finish(y_pre) == the stored value.
+
+    y_pre is the PRE-cast f32 epilogue value (in requant units when
+    out_inv is set) and finish is monotone (round/clip/cast), so
+    slot-max pooling may run on y_pre with finish applied to the pooled
+    O/4 lanes after — max∘finish == finish∘max, and the pool skips the
+    s8→s32 vector unpack/repack it would otherwise pay (measured
+    ~2.2 ms at the 512²/B=128 level-1 site, benchmarks/kernel_anatomy).
 
     chan_scale: per-out-channel [O] f32 ref (int8 dequant: wscale*ascale);
     out_inv: (1,1) f32 SMEM ref holding 1/out_scale — requantize the
@@ -92,15 +100,31 @@ def _epilogue(acc, bias_ref, relu, out_dtype, chan_scale=None,
             y = y * (chan_scale[:] * oi)
         else:
             y = y * oi
-        q = jnp.round(y + bias_ref[:].astype(jnp.float32) * oi)
+        y = y + bias_ref[:].astype(jnp.float32) * oi
         lo = 0.0 if relu else -127.0
-        return jnp.clip(q, lo, 127.0).astype(jnp.int8)
+
+        def finish(v):
+            return jnp.clip(jnp.round(v), lo, 127.0).astype(jnp.int8)
+
+        return y, finish
     if chan_scale is not None:
         y = y * chan_scale[:]
     y = y + bias_ref[:].astype(jnp.float32)
     if relu:
         y = jnp.maximum(y, 0.0)
-    return y.astype(out_dtype)
+
+    def finish(v):
+        return v.astype(out_dtype)
+
+    return y, finish
+
+
+def _epilogue(acc, bias_ref, relu, out_dtype, chan_scale=None,
+              out_inv=None):
+    """acc (f32 or i32) -> y = acc*chan_scale + bias; relu; cast."""
+    y, finish = _epilogue_parts(acc, bias_ref, relu, out_dtype,
+                                chan_scale, out_inv)
+    return finish(y)
 
 
 def _quant_rows(v, act_inv):
