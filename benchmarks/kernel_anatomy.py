@@ -523,6 +523,107 @@ def main(batch=128, iters=30):
             vmem_limit_bytes=64 * 1024 * 1024),
     )(a, w4c, w128, w128, w128, w128)[0])
 
+    # ---- F: full-height store + small overwrite patch — store the
+    # roll-based result for ALL rows (last row garbage), then recompute
+    # the last row from x_next and OVERWRITE rows [cut:] in VMEM. One
+    # big aligned store + one small store per ref; no concat, no split
+    # at the cut, 2 epi invocations on the bulk + 2 on the patch.
+    def k_overwrite(xr, xnr, wr, w0, w1, w2, w3, outr, pout):
+        xm, xn = xr[0], xnr[0]
+        acc_e, acc_o = _parities(xm, wr, w0, w1, w2, w3)
+        sc = jnp.full((1, O), 3e-4, jnp.float32)
+        bias = jnp.full((1, O), 0.1, jnp.float32)
+        oinv = jnp.float32(31.0)
+
+        def epi2(a):
+            return a.astype(jnp.float32) * sc + bias
+
+        def fin(v):
+            return jnp.clip(jnp.round(v * oinv), 0.0, 127.0).astype(
+                jnp.int8)
+
+        def pool(y):
+            m = jnp.maximum(y, pltpu.roll(y, O // 2, 1))
+            m = jnp.maximum(m, pltpu.roll(m, O - O // 4, 1))
+            return fin(m[:, : O // 4])
+
+        ye, yo = epi2(acc_e), epi2(acc_o)
+        outr[0, :, :O] = fin(ye)
+        outr[0, :, O:] = fin(yo)
+        pout[0, :, : O // 4] = pool(ye)
+        pout[0, :, O // 4 :] = pool(yo)
+        # last-row patch
+        last_e = d32(xm[cut:], wr[:C2]) + d32(xn, wr[C2:])
+        xnL, xnH = xn[:, :128], xn[:, 128:]
+        po0 = d32(xm[cut:, 128:], w0[:]) + cf._rolldn(
+            d32(xm[cut:, :128], w1[:]), 1)
+        last_o = po0 + d32(xnH, w2[:]) + cf._rolldn(d32(xnL, w3[:]), 1)
+        yle, ylo = epi2(last_e), epi2(last_o)
+        outr[0, cut:, :O] = fin(yle)
+        outr[0, cut:, O:] = fin(ylo)
+        pout[0, cut:, : O // 4] = pool(yle)
+        pout[0, cut:, O // 4 :] = pool(ylo)
+
+    timed("F store+overwrite", lambda a: call_epi(
+        k_overwrite, [a, a, w4c, w128, w128, w128, w128],
+        [blk, nblk, wspec] + [wspec] * 4))
+
+    # ---- G: shift-and-append form — the "next image row" operand is
+    # concat([xm[s2:], xn], axis=0) (a sublane shift, which shift1 shows
+    # costs the same as a copy) instead of a wrapping roll. The result
+    # is correct for EVERY row: no last-row patch, no split stores, no
+    # 4-slice epilogue. Expect ~= the 5.9 ms base form.
+    def k_shift_full(xr, xnr, wr, w0, w1, w2, w3, outr, pout):
+        xm, xn = xr[0], xnr[0]
+        zs = jnp.concatenate([xm[S2:], xn], axis=0)
+        z4 = jnp.concatenate([xm, zs], axis=1)
+        acc_e = d32(z4, wr[:])
+        xmL, xmH = xm[:, :128], xm[:, 128:]
+        zsL, zsH = zs[:, :128], zs[:, 128:]
+        po0 = d32(xmH, w0[:]) + cf._rolldn(d32(xmL, w1[:]), 1)
+        po1 = d32(zsH, w2[:]) + cf._rolldn(d32(zsL, w3[:]), 1)
+        acc_o = po0 + po1
+        sc = jnp.full((1, O), 3e-4, jnp.float32)
+        bias = jnp.full((1, O), 0.1, jnp.float32)
+        oinv = jnp.float32(31.0)
+
+        def epi2(a):
+            return a.astype(jnp.float32) * sc + bias
+
+        def fin(v):
+            return jnp.clip(jnp.round(v * oinv), 0.0, 127.0).astype(
+                jnp.int8)
+
+        def pool(y):
+            m = jnp.maximum(y, pltpu.roll(y, O // 2, 1))
+            m = jnp.maximum(m, pltpu.roll(m, O - O // 4, 1))
+            return fin(m[:, : O // 4])
+
+        ye, yo = epi2(acc_e), epi2(acc_o)
+        outr[0, :, :O] = fin(ye)
+        outr[0, :, O:] = fin(yo)
+        pout[0, :, : O // 4] = pool(ye)
+        pout[0, :, O // 4 :] = pool(yo)
+
+    timed("G shift no-patch", lambda a: call_epi(
+        k_shift_full, [a, a, w4c, w128, w128, w128, w128],
+        [blk, nblk, wspec] + [wspec] * 4))
+
+    # Findings (v5e, B=128, R=16; see git log for the full history):
+    #   base epi+pool (full stores, wrap-garbage last row)   5.93 ms
+    #   A  split stores only                                 8.10
+    #   B  x_next patch, concat + full stores                8.29
+    #   C  full structural mirror (= shipped kernel, 7.98)   8.08
+    #   D  acc-concat before epilogue                        9.72
+    #   E  pl.Element overlapping window          compile failure
+    #   F  full store + VMEM overwrite patch                10.50
+    #   G  shift-and-append operand (no patch)               9.74
+    # Conclusion: Mosaic value-level concats and double-stores cost far
+    # more than the wrapping rolls they replace; the 2.1 ms tax is the
+    # 4-way sublane-sliced stores themselves (A alone reproduces it) and
+    # none of the store-merging reformulations beat the shipped form.
+    # The shipped split-store+patch kernel stands.
+
     wq = jnp.asarray(rng.integers(-80, 80, (2, 2, 128, 128),
                                   dtype=np.int8))
     ws = jnp.full((128,), 0.01, jnp.float32)
