@@ -66,12 +66,37 @@ def main(iters=20, batches=(128, 160, 192)):
     step_plain = make_step(False)
     step_remat = None
 
+    def make_scan_step(inner, k=8):
+        """k train steps per dispatch (lax.scan) — isolates tunnel
+        dispatch overhead: if wall/k << the single-step wall, the
+        single-step number is dispatch-bound, not compute-bound. This
+        is also the CLI's production --steps-per-dispatch mode."""
+
+        @jax.jit
+        def stepk(p, s, os_, x, y):
+            def body(carry, _):
+                p, s, os_ = carry
+                p, s, os_, l = inner(p, s, os_, x, y)
+                return (p, s, os_), l
+
+            (p, s, os_), ls = jax.lax.scan(
+                body, (p, s, os_), None, length=k
+            )
+            return p, s, os_, ls[-1]
+
+        return stepk
+
     for spec in batches:
-        remat = isinstance(spec, str) and spec.startswith("r")
-        batch = int(spec[1:]) if remat else int(spec)
+        spec = str(spec)
+        remat = spec.startswith("r")
+        scan = spec.startswith("s")
+        batch = int(spec[1:]) if (remat or scan) else int(spec)
         if remat and step_remat is None:
             step_remat = make_step(True)
         step = step_remat if remat else step_plain
+        spd = 8 if scan else 1
+        if scan:
+            step = make_scan_step(step_plain, spd)
         try:
             x = jax.jit(
                 lambda k: jax.random.uniform(
@@ -91,12 +116,13 @@ def main(iters=20, batches=(128, 160, 192)):
             p2, s2, o2, l = step(p2, s2, o2, x, y)  # post-reshard steady
             float(l)
             t0 = time.perf_counter()
-            for _ in range(iters):
+            for _ in range(max(1, iters // spd)):
                 p2, s2, o2, l = step(p2, s2, o2, x, y)
             float(l)
-            dt = (time.perf_counter() - t0) / iters
+            dt = (time.perf_counter() - t0) / (max(1, iters // spd) * spd)
+            tag = "r" if remat else ("s" if scan else " ")
             print(
-                f"B={batch:4d}{'r' if remat else ' '} "
+                f"B={batch:4d}{tag} "
                 f"{dt * 1e3:7.2f} ms/step  {batch / dt:7.1f} img/s",
                 flush=True,
             )

@@ -106,15 +106,21 @@ def int8_std_dual_conv(sk, up, wqa, wsa, sk_scale, wqb, wsb, asb, b,
     dequant copy of the big skip)."""
     ska = sk if sk.dtype == jnp.int8 else _quant_act(sk, sk_scale)
     upq = up if up.dtype == jnp.int8 else _quant_act(up, asb)
-    ya = lax.conv_general_dilated(
+    # One of the two convs cannot fuse its epilogue (the sum has a single
+    # fusion root), so XLA materializes its accumulator. Round that
+    # intermediate to bf16: the scaled partial is O(1) and the final s8
+    # keeps 7 bits, so bf16's 8-bit mantissa is lossless in practice —
+    # and the materialized buffer halves (profiled 0.98+0.84 ms of s32
+    # traffic at the two dual-split sites).
+    ya = (lax.conv_general_dilated(
         ska, wqa, (1, 1), "VALID", dimension_numbers=_DN,
         preferred_element_type=jnp.int32,
-    ).astype(jnp.float32) * (sk_scale * wsa)
+    ).astype(jnp.float32) * (sk_scale * wsa)).astype(jnp.bfloat16)
     yb = lax.conv_general_dilated(
         upq, wqb, (1, 1), "VALID", dimension_numbers=_DN,
         preferred_element_type=jnp.int32,
     ).astype(jnp.float32) * (asb * wsb)
-    y = ya + yb + b.astype(jnp.float32)
+    y = ya.astype(jnp.float32) + yb + b.astype(jnp.float32)
     if out_scale is not None:
         lo = 0.0 if relu else -127.0
         return jnp.clip(jnp.round(y / out_scale), lo, 127.0).astype(

@@ -1520,7 +1520,10 @@ def conv3entry_pf2(xt, we, wh, wl, b, *, h_img: int, relu: bool = True,
     assert o4 % 128 == 0 and g % 32 == 0, (o4, g)
     h_out = (h_img - 2) // 2
     if r_block is None:
-        r_block = _auto_r(h_out, 8)
+        # r=32 measured 4.37 ms vs r=8's 5.14 at 512²/B=128 (the per-row
+        # dots are latency-bound; taller blocks keep the MXU fed) — see
+        # benchmarks/dual_entry_anatomy.py
+        r_block = _auto_r(h_out, 32)
     r_block = max(1, min(r_block, h_out))
     nb = pl.cdiv(h_out, r_block)
     grid = (n, nb)
