@@ -250,7 +250,7 @@ def main():
         details["unet512_train_sweep"] = f"init failed: {e}"
         train_ready = False
 
-    def train_throughput(Bt, remat, iters=3):
+    def train_throughput(Bt, remat, iters=3, accum=1):
         opt_state = opt.init(tparams)
 
         apply_train = lambda p, st, x: tfwd.apply(  # noqa: E731
@@ -265,16 +265,40 @@ def main():
                 tp, ms, os_ = carry
                 x, y = xy
 
-                def loss_fn(p):
-                    logits, new_ms = apply_train(p, ms, x)
+                def loss_fn(p, ms_, xi, yi):
+                    logits, new_ms = apply_train(p, ms_, xi)
                     yy = center_crop_or_pad(
-                        y, logits.shape[1], logits.shape[2]
+                        yi, logits.shape[1], logits.shape[2]
                     )
-                    return L.segmentation_xentropy(logits, yy, 2), new_ms
+                    return (
+                        L.segmentation_xentropy(logits, yy, 2), new_ms
+                    )
 
-                (loss, new_ms), g = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(tp)
+                if accum > 1:
+                    # grad accumulation (TrainConfig.grad_accum): k
+                    # microbatches per update — the config for batches
+                    # past the per-chip memory wall (B>=160 plain OOMs)
+                    xb = x.reshape(accum, Bt // accum, *x.shape[1:])
+                    yb = y.reshape(accum, Bt // accum, *y.shape[1:])
+
+                    def micro(ms_, xy_):
+                        xi, yi = xy_
+                        (l, nm), g = jax.value_and_grad(
+                            loss_fn, has_aux=True
+                        )(tp, ms_, xi, yi)
+                        return nm, (g, l)
+
+                    new_ms, (gs, ls_) = jax.lax.scan(
+                        micro, ms, (xb, yb)
+                    )
+                    g = jax.tree_util.tree_map(
+                        lambda v: v.mean(0), gs
+                    )
+                    loss = ls_.mean()
+                else:
+                    (loss, new_ms), g = jax.value_and_grad(
+                        loss_fn, has_aux=True
+                    )(tp, ms, x, y)
                 upd, os_ = opt.update(g, os_, tp)
                 tp = optax.apply_updates(tp, upd)
                 return (tp, new_ms, os_), loss
@@ -306,13 +330,21 @@ def main():
     if train_ready:
         tsweep = {}
         details["unet512_train_sweep"] = tsweep  # same object; flush sees it
-        # NOTE: no B=192 config — its compile OOMs (backward-pass C=32
-        # tensors pad 4x in lanes, see STATUS), and a failed compile poisons
-        # the backend for every subsequent section of the run.
-        for Bt, remat in ((128, False), (128, True)):
-            key = f"B{Bt}{'_remat' if remat else ''}"
+        # NOTE: no plain B>=160 config — those compiles OOM (even with
+        # remat; measured 2026-08-18), and a failed compile poisons the
+        # backend for every subsequent section of the run. B=192 ships as
+        # grad_accum=2 (TrainConfig.grad_accum / --grad-accum): one
+        # optimizer update consuming 2x96 microbatches.
+        for Bt, remat, acc in (
+            (128, False, 1), (128, True, 1), (192, False, 2),
+        ):
+            key = f"B{Bt}{'_remat' if remat else ''}" + (
+                f"_accum{acc}" if acc > 1 else ""
+            )
             try:
-                tsweep[key] = round(train_throughput(Bt, remat), 1)
+                tsweep[key] = round(
+                    train_throughput(Bt, remat, accum=acc), 1
+                )
             except Exception as e:
                 tsweep[key] = f"failed: {type(e).__name__}: {e}"
             flush()

@@ -609,6 +609,78 @@ def main(batch=128, iters=30):
         k_shift_full, [a, a, w4c, w128, w128, w128, w128],
         [blk, nblk, wspec] + [wspec] * 4))
 
+    # ---- H: side-tensor patch-in — the kernel stores the roll-based
+    # result full-height (garbage last image row per block) PLUS the
+    # patched rows to a compact side tensor [B, NB*S2, lanes]; all
+    # stores are whole-block aligned. The garbage rows are then fixed
+    # OUTSIDE the kernel with NB static dynamic-update-slices, which XLA
+    # performs in place. Cost = base form + side writes + DUS traffic.
+    def k_side(xr, xnr, wr, w0, w1, w2, w3, outr, pout, sider, spout):
+        xm, xn = xr[0], xnr[0]
+        acc_e, acc_o = _parities(xm, wr, w0, w1, w2, w3)
+        sc = jnp.full((1, O), 3e-4, jnp.float32)
+        bias = jnp.full((1, O), 0.1, jnp.float32)
+        oinv = jnp.float32(31.0)
+
+        def epi2(a):
+            return a.astype(jnp.float32) * sc + bias
+
+        def fin(v):
+            return jnp.clip(jnp.round(v * oinv), 0.0, 127.0).astype(
+                jnp.int8)
+
+        def pool(y):
+            m = jnp.maximum(y, pltpu.roll(y, O // 2, 1))
+            m = jnp.maximum(m, pltpu.roll(m, O - O // 4, 1))
+            return fin(m[:, : O // 4])
+
+        ye, yo = epi2(acc_e), epi2(acc_o)
+        outr[0, :, :O] = fin(ye)
+        outr[0, :, O:] = fin(yo)
+        pout[0, :, : O // 4] = pool(ye)
+        pout[0, :, O // 4 :] = pool(yo)
+        last_e = d32(xm[cut:], wr[:C2]) + d32(xn, wr[C2:])
+        xnL, xnH = xn[:, :128], xn[:, 128:]
+        po0 = d32(xm[cut:, 128:], w0[:]) + cf._rolldn(
+            d32(xm[cut:, :128], w1[:]), 1)
+        last_o = po0 + d32(xnH, w2[:]) + cf._rolldn(d32(xnL, w3[:]), 1)
+        yle, ylo = epi2(last_e), epi2(last_o)
+        sider[0, :, :O] = fin(yle)
+        sider[0, :, O:] = fin(ylo)
+        spout[0, :, : O // 4] = pool(yle)
+        spout[0, :, O // 4 :] = pool(ylo)
+
+    sblk = pl.BlockSpec((1, S2, 2 * O), lambda n, i: (n, i, 0),
+                        memory_space=pltpu.VMEM)
+    spblk = pl.BlockSpec((1, S2, O // 2), lambda n, i: (n, i, 0),
+                         memory_space=pltpu.VMEM)
+
+    def run_side(a):
+        main, mpool, side, spool = pl.pallas_call(
+            k_side,
+            out_shape=(
+                jax.ShapeDtypeStruct((B, NB * R * S2, 2 * O), jnp.int8),
+                jax.ShapeDtypeStruct((B, NB * R * S2, O // 2), jnp.int8),
+                jax.ShapeDtypeStruct((B, NB * S2, 2 * O), jnp.int8),
+                jax.ShapeDtypeStruct((B, NB * S2, O // 2), jnp.int8),
+            ),
+            grid=grid,
+            in_specs=[blk, nblk, wspec] + [wspec] * 4,
+            out_specs=(o2blk, pblk, sblk, spblk),
+        )(a, a, w4c, w128, w128, w128, w128)
+        for i in range(NB):
+            main = jax.lax.dynamic_update_slice(
+                main, side[:, i * S2 : (i + 1) * S2],
+                (0, i * R * S2 + cut, 0))
+            mpool = jax.lax.dynamic_update_slice(
+                mpool, spool[:, i * S2 : (i + 1) * S2],
+                (0, i * R * S2 + cut, 0))
+        # barrier: keep XLA from slicing through the DUS chains
+        main, mpool = jax.lax.optimization_barrier((main, mpool))
+        return main
+
+    timed("H side+DUS patch", run_side)
+
     # Findings (v5e, B=128, R=16; see git log for the full history):
     #   base epi+pool (full stores, wrap-garbage last row)   5.93 ms
     #   A  split stores only                                 8.10

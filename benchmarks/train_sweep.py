@@ -66,6 +66,41 @@ def main(iters=20, batches=(128, 160, 192)):
     step_plain = make_step(False)
     step_remat = None
 
+    def make_accum_step(k):
+        """ONE optimizer step whose batch is consumed as k microbatches
+        (grad accumulation) — the production config for batches past the
+        per-chip memory wall (B>=160 at 512² fails to compile even with
+        remat; 2x96 compiles and trains)."""
+
+        @jax.jit
+        def step(p, s, os_, x, y):
+            xb = x.reshape(k, x.shape[0] // k, *x.shape[1:])
+            yb = y.reshape(k, y.shape[0] // k, *y.shape[1:])
+
+            def body(s_, xs):
+                xi, yi = xs
+
+                def loss_fn(p):
+                    logits, ns = fwd.apply(
+                        p, s_, jax.random.PRNGKey(0), xi, train=True
+                    )
+                    yy = center_crop_or_pad(
+                        yi, logits.shape[1], logits.shape[2]
+                    )
+                    return L.segmentation_xentropy(logits, yy, 2), ns
+
+                (l, ns), g = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(p)
+                return ns, (g, l)
+
+            s_out, (gs, ls) = jax.lax.scan(body, s, (xb, yb))
+            g = jax.tree_util.tree_map(lambda v: v.mean(0), gs)
+            u, os_ = opt.update(g, os_, p)
+            return optax.apply_updates(p, u), s_out, os_, ls[-1]
+
+        return step
+
     def make_scan_step(inner, k=8):
         """k train steps per dispatch (lax.scan) — isolates tunnel
         dispatch overhead: if wall/k << the single-step wall, the
@@ -90,13 +125,16 @@ def main(iters=20, batches=(128, 160, 192)):
         spec = str(spec)
         remat = spec.startswith("r")
         scan = spec.startswith("s")
-        batch = int(spec[1:]) if (remat or scan) else int(spec)
+        accum = spec.startswith("a")
+        batch = int(spec[1:]) if (remat or scan or accum) else int(spec)
         if remat and step_remat is None:
             step_remat = make_step(True)
         step = step_remat if remat else step_plain
         spd = 8 if scan else 1
         if scan:
             step = make_scan_step(step_plain, spd)
+        if accum:
+            step = make_accum_step(2)
         try:
             x = jax.jit(
                 lambda k: jax.random.uniform(
@@ -120,7 +158,8 @@ def main(iters=20, batches=(128, 160, 192)):
                 p2, s2, o2, l = step(p2, s2, o2, x, y)
             float(l)
             dt = (time.perf_counter() - t0) / (max(1, iters // spd) * spd)
-            tag = "r" if remat else ("s" if scan else " ")
+            tag = ("r" if remat else
+                   "s" if scan else "a" if accum else " ")
             print(
                 f"B={batch:4d}{tag} "
                 f"{dt * 1e3:7.2f} ms/step  {batch / dt:7.1f} img/s",
@@ -135,5 +174,5 @@ def main(iters=20, batches=(128, 160, 192)):
 if __name__ == "__main__":
     a = sys.argv[1:]
     it = int(a[0]) if a else 20
-    bs = tuple(a[1:]) or (128, 160, 192)  # "r192" = remat at B=192
+    bs = tuple(a[1:]) or (128, "a192")  # r=remat s=scan a=grad-accum-2
     main(it, bs)

@@ -43,6 +43,10 @@ def _add_common(p: argparse.ArgumentParser):
                         ">=98.5%% mask agreement)")
     p.add_argument("--autoencoder", action="store_true")
     p.add_argument("--adversarial-training", action="store_true")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="split each batch into k microbatches inside the "
+                        "jitted step and apply one averaged update — "
+                        "trains batches past the per-chip memory wall")
     p.add_argument("--adversarial-update-every", type=int, default=1,
                    help="update the Luc adversary every k-th step (low "
                         "update frequency, reference Readme.md:86)")
@@ -106,6 +110,7 @@ def _configs(args):
         adversarial_update_every=getattr(
             args, "adversarial_update_every", 1
         ),
+        grad_accum=getattr(args, "grad_accum", 1),
     )
     return mcfg, tcfg
 

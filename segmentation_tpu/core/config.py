@@ -129,6 +129,14 @@ class TrainConfig:
     # trades ~30% step FLOPs for activation memory — enables much larger
     # batch×resolution products per chip.
     remat: bool = False
+    # Gradient accumulation: split each batch into k microbatches inside
+    # the jitted step (lax.scan), average the grads, apply ONE optimizer
+    # update. Peak activation memory drops to one microbatch's — the
+    # production path for batches past the per-chip memory wall (at 512²
+    # the no-remat wall is B≈128; B=192 trains with grad_accum=2). Batch
+    # size must be divisible by k. BN statistics update per microbatch
+    # (same semantics as k sequential steps of B/k).
+    grad_accum: int = 1
     # Parallelism (new)
     data_axis: Optional[str] = "data"
     spatial_axes: Tuple[str, str] = ("sph", "spw")

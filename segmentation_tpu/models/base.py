@@ -355,15 +355,52 @@ class SegmentationTrainer(Trainer):
         def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
             rng, step_rng = jax.random.split(state.rng)
             grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
-            (_, (new_ms, new_adv_ms, metrics, _)), (g, g_adv) = grad_fn(
-                state.params,
-                state.adv_params,
-                state.model_state,
-                state.adv_model_state,
-                step_rng,
-                batch,
-                True,
-            )
+            k_acc = int(getattr(tcfg, "grad_accum", 1) or 1)
+            if k_acc > 1:
+                # Gradient accumulation: scan over k microbatches, mean
+                # the grads/metrics, ONE optimizer update. Peak activation
+                # memory = one microbatch's — the path past the per-chip
+                # memory wall (512²: B=192 trains as 2×96). BN state
+                # threads through the scan (≡ k sequential B/k steps).
+                def _split(v):
+                    assert v.shape[0] % k_acc == 0, (
+                        f"batch {v.shape[0]} not divisible by "
+                        f"grad_accum={k_acc}"
+                    )
+                    return v.reshape(
+                        k_acc, v.shape[0] // k_acc, *v.shape[1:]
+                    )
+
+                micro = jax.tree_util.tree_map(_split, batch)
+                rngs = jax.random.split(step_rng, k_acc)
+
+                def body(carry, xs):
+                    ms, adv_ms = carry
+                    b_i, r_i = xs
+                    (_, (ms, adv_ms, m, _)), (g, g_adv) = grad_fn(
+                        state.params, state.adv_params, ms, adv_ms,
+                        r_i, b_i, True,
+                    )
+                    return (ms, adv_ms), (g, g_adv, m)
+
+                (new_ms, new_adv_ms), (gs, gas, ms_seq) = jax.lax.scan(
+                    body,
+                    (state.model_state, state.adv_model_state),
+                    (micro, rngs),
+                )
+                g, g_adv, metrics = jax.tree_util.tree_map(
+                    lambda v: v.mean(0), (gs, gas, ms_seq)
+                )
+            else:
+                (_, (new_ms, new_adv_ms, metrics, _)), (g, g_adv) = grad_fn(
+                    state.params,
+                    state.adv_params,
+                    state.model_state,
+                    state.adv_model_state,
+                    step_rng,
+                    batch,
+                    True,
+                )
             updates, opt_state = self.optimizer.update(
                 g, state.opt_state, state.params
             )
