@@ -188,6 +188,62 @@ def main():
           f"{B / tot * 1e3:.0f} img/s (B={B})")
     print(f"w/o known formulation taxes = {tot - tax:.1f} ms -> "
           f"{B / (tot - tax) * 1e3:.0f} img/s")
+    measured_floor()
+
+
+def measured_floor():
+    """MEASURED per-site floor vs the in-context profile (2026-08-18,
+    post commit 508905c: entry r=32, bf16 dual-std intermediate).
+
+    The spec table above prices HBM at 819 GB/s and ignores the VPU
+    epilogue and Mosaic store structure. Three measured corrections
+    (all from benchmarks/kernel_anatomy.py, dual_entry_anatomy.py,
+    pf2_rblock.py on the real chip):
+
+      1. achievable stream BW is 651 GB/s (copy probe: 2.14 GB moved in
+         3.29 ms) -> every bw-bound term scales 1.26x;
+      2. the requant+pool epilogue is VPU-serial: +2.0 ms measured at
+         the c1_2 site on top of the raw load/dot/store form;
+      3. the split-store+patch structure costs +2.05 ms at c1_2 and is
+         NOT removable: six reformulations (acc-concat, Element
+         overlapping windows, store+VMEM-overwrite, shift-and-append
+         operands, side-tensor+DUS patch-in, r_block growth) all
+         measured slower or failed to compile.
+
+    floor kinds: M = direct measurement of an equal-work form,
+    I = best isolated run of the shipped kernel (r_block sweep),
+    E = spec scaled to measured BW (no direct probe).
+    """
+    ctx = [  # (site, in-context ms, floor ms, kind, provenance)
+        ("entry pair-major copy", 0.64, 0.62, "E", "stream-BW relayout"),
+        ("c1_1 fused entry", 4.31, 4.31, "I",
+         "r-sweep saturates at 32; tap-minor/per-row forms all worse"),
+        ("c1_2+pool pf2", 7.98, 5.93, "M",
+         "anatomy base form; +2.05 store structure bracketed"),
+        ("c2_1 strided", 3.83, 3.40, "E", "spec MXU x1.26 est"),
+        ("c2_2+pool", 4.50, 4.32, "I", "isolated r=32"),
+        ("std XLA levels 3-5+6-7", 11.33, 9.33, "E",
+         "sum of clamp_convert fusions; spec x1.26"),
+        ("up2 matmul", 1.01, 0.53, "E", "spec x1.26"),
+        ("c8_1 dual plain", 4.91, 4.80, "I", "isolated r=32"),
+        ("c8_2", 2.15, 1.70, "E", "spec x1.26"),
+        ("up1 deconv pf2", 2.47, 2.47, "I", "at spec incl. 4xK tax"),
+        ("c9_1 dual pf2", 5.47, 5.30, "M",
+         "A-blocked probe (scratch fill is only 0.8 ms; stride "
+         "unification costs more in padding traffic than it saves)"),
+        ("c9_2+head", 2.91, 2.40, "E", "spec x1.26 + head dots"),
+        ("misc small ops", 6.38, 5.00, "E", "residual to 57.9 total"),
+    ]
+    t_ctx = sum(r[1] for r in ctx)
+    t_fl = sum(r[2] for r in ctx)
+    print(f"\n{'site':28s} {'ctx ms':>7s} {'floor':>7s} kind")
+    for name, c, f, k, note in ctx:
+        print(f"{name:28s} {c:7.2f} {f:7.2f}  {k}   {note}")
+    print(f"\nmeasured in-context total = {t_ctx:.1f} ms "
+          f"({B / t_ctx * 1e3:.0f} img/s)")
+    print(f"measured/estimated floor  = {t_fl:.1f} ms "
+          f"({B / t_fl * 1e3:.0f} img/s) -> shipped at "
+          f"{100 * t_fl / t_ctx:.0f}% of floor")
 
 
 if __name__ == "__main__":
