@@ -500,13 +500,17 @@ def main():
             # host→device bandwidth of one batch through the tunnel —
             # the attribution row for the e2e number below.
             bh = ds.get_batch()
-            t0 = time.perf_counter()
-            xb_ = jax.device_put(bh["image"])
-            xb_.block_until_ready()
-            details["e2e_transfer_MBps"] = round(
-                bh["image"].nbytes / (time.perf_counter() - t0) / 1e6, 1
-            )
-            xb_.delete()
+            best_tx = 0.0  # best-of-3: the prefetch thread contends for
+            for _ in range(3):  # the single host core, one-shot is noisy
+                t0 = time.perf_counter()
+                xb_ = jax.device_put(bh["image"])
+                xb_.block_until_ready()
+                best_tx = max(
+                    best_tx,
+                    bh["image"].nbytes / (time.perf_counter() - t0) / 1e6,
+                )
+                xb_.delete()
+            details["e2e_transfer_MBps"] = round(best_tx, 1)
 
             def fetch():
                 b = pf.get_batch()

@@ -864,6 +864,13 @@ class UNetS2DInference:
     def _pf_ready(self, p) -> bool:
         return True  # int8: calibrated scales present at every site
 
+    def _pf_entry_chain(self, p, c1, c2, x):
+        """Fused level-1 chain hook — the int8 subclass runs
+        c1_1+c1_2+pool as one kernel (conv_flat.entry_chain_pf2). The
+        bf16 path keeps the two-kernel form (no requant point at which
+        to hold the intermediate in int8 VMEM cheaply)."""
+        return None
+
     def _pf_supported(self, p, x) -> bool:
         k4 = 4 * self.cfg.n_kernels
         on = self.padflat if isinstance(self.padflat, bool) else True
@@ -1079,18 +1086,27 @@ class UNetS2DInference:
         pfp = None
         for lvl in range(pl_):
             c1, c2 = f"conv{lvl + 1}_1", f"conv{lvl + 1}_2"
+            conv_pool = None
             if lvl == 0:
-                pf = (self._pf_entry_fused(p, c1, x) if use_pf2
-                      else None)
-                if pf is None:
-                    h4, w_real = self._pf_entry_conv(p, c1, x, t)
-                    pf = self._pf_entry(p, c2, h4, pf2=use_pf2)
-                    if pf.w != w_real:  # stride-padded entry: fix width
-                        pf = (PF2(pf.x, pf.h, w_real, pf.s2) if use_pf2
-                              else PadFlat(pf.x, pf.h, w_real, pf.s))
+                # int8 hook: whole level 1 (c1_1+c1_2+pool) as ONE
+                # kernel with the c1_1 tensor VMEM-resident
+                conv_pool = (self._pf_entry_chain(p, c1, c2, x)
+                             if use_pf2 else None)
+                if conv_pool is None:
+                    pf = (self._pf_entry_fused(p, c1, x) if use_pf2
+                          else None)
+                    if pf is None:
+                        h4, w_real = self._pf_entry_conv(p, c1, x, t)
+                        pf = self._pf_entry(p, c2, h4, pf2=use_pf2)
+                        if pf.w != w_real:  # stride-padded entry: fix
+                            pf = (PF2(pf.x, pf.h, w_real, pf.s2)
+                                  if use_pf2
+                                  else PadFlat(pf.x, pf.h, w_real, pf.s))
             else:
                 pf = self._pf_strided(p, c1, pfp)
-            conv_pf, pool_pf = self._pf_conv_pool(p, c2, pf)
+            if conv_pool is None:
+                conv_pool = self._pf_conv_pool(p, c2, pf)
+            conv_pf, pool_pf = conv_pool
             skips.append(conv_pf)
             if lvl + 1 < pl_:
                 # the PF2 conv+pool emits the column-paired handoff

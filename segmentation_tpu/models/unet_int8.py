@@ -642,6 +642,51 @@ class UNetS2DInt8(UNetS2DInference):
             q["out_scale"] = out_s
         return q, in_s
 
+    def _pf_entry_chain(self, p, c1, c2, x):
+        """Whole level 1 (c1_1 entry + c1_2 + pool) as ONE Pallas kernel
+        with the c1_1 tensor VMEM-resident — its HBM write and c1_2's
+        read-back (2×1.07 GB at 512²/B=128) never happen. Bit-identical
+        to the two-kernel path (tests/test_conv_flat.py,
+        test_unet_padflat.py); requant points unchanged (c1_1 at its
+        calibrated out_scale = c1_2's ascale)."""
+        import os
+
+        from segmentation_tpu.models.unet_fast import (
+            PF2, PadFlat, _pallas_backend_ok,
+        )
+        from segmentation_tpu.nn.pallas import conv_flat as cf
+
+        out_s1 = self._out_scale_of(p, c1)
+        out_s2 = self._out_scale_of(p, c2)
+        in_s2 = self._in_scale_of(p, c2)
+        w = x.shape[2]
+        if (
+            f"{c1}/we" not in p
+            or f"{c2}/wq" not in p
+            or out_s1 is None
+            or out_s2 is None
+            or in_s2 is None
+            or self._calibrating is not None
+            or not self.allow_pallas
+            or not _pallas_backend_ok()
+            or os.environ.get("SEG_TPU_FUSED_CHAIN", "1") == "0"
+            or os.environ.get("SEG_TPU_FUSED_ENTRY", "1") == "0"
+            or w % 4
+            or (w // 4) % 32
+        ):
+            return None
+        xt = cf.entry_transform_pf2(x)
+        q2 = {"chan_scale": p[f"{c2}/wscale"] * in_s2,
+              "out_scale": out_s2}
+        y, pooled = cf.entry_chain_pf2(
+            xt, p[f"{c1}/we"], p[f"{c1}/wh"], p[f"{c1}/wl"],
+            _tile4(p[f"{c1}/b"]), p[f"{c2}/wq"], _tile4(p[f"{c2}/b"]),
+            h_img=x.shape[1], out_scale1=out_s1, quant2=q2,
+        )
+        h1, w1 = (x.shape[1] - 2) // 2, (w - 2) // 2
+        return (PF2(y, h1 - 1, w1 - 1, w // 4),
+                PadFlat(pooled, h1 - 1, (w1 - 1) // 2, w // 4))
+
     def _pf_entry_fused(self, p, name, x):
         """One-kernel pf2 entry: pair-major transform of the raw bf16
         input, then conv3entry_pf2 does 3×3 conv + s2d fold + requant in

@@ -1497,6 +1497,143 @@ def _conv3entry_pf2_kernel(r_block, g, o4, relu, out_dtype, in_int8,
         )
 
 
+def _entry_chain_kernel(r_block, g, o4, *refs):
+    """Fused c1_1 (3×3 entry + s2d fold + requant) → c1_2 (2×2 stacked-K
+    int8) → slot pool, one grid pass. c1_1's pf2 tensor lives only in a
+    VMEM scratch: its 1.07 GB HBM write and c1_2's 1.07 GB read (512²,
+    B=128) never happen. The entry runs R+1 rows per block (one-row
+    recompute overlap, +1/R flops) so the c1_2 row tap's last row is
+    local — the x_next ref pattern moves up to the RAW input."""
+    (we, wh, wl, b1, oi1, ws2, b2, cs2, oi2,
+     xm_ref, xn_ref, out2, pout, vs) = refs
+    dn = (((0,), (0,)), ((), ()))
+    xa = jnp.concatenate([xm_ref[0], xn_ref[0]], axis=0)
+    for j in range(r_block + 1):
+        blk = xa[24 * j : 24 * j + 48]
+        qe = jax.lax.dot_general(blk, we[:], dn,
+                                 preferred_element_type=jnp.float32)
+        qh = jax.lax.dot_general(blk, wh[:], dn,
+                                 preferred_element_type=jnp.float32)
+        ql = jax.lax.dot_general(blk, wl[:], dn,
+                                 preferred_element_type=jnp.float32)
+        qo = qh + _rolldn(ql, 1)
+        vs[j * g : (j + 1) * g, 0:o4] = _epilogue(
+            qe, b1, True, jnp.int8, None, oi1
+        )
+        vs[j * g : (j + 1) * g, o4 : 2 * o4] = _epilogue(
+            qo, b1, True, jnp.int8, None, oi1
+        )
+    xm = vs[0 : r_block * g]
+    xn = vs[r_block * g : (r_block + 1) * g]
+    acc_e, acc_o, last_e, last_o = _taps_pf2_stacked(
+        xm, xn, ws2, g, r_block, o4
+    )
+
+    def epi(a):
+        return _epilogue(a, b2, True, jnp.int8, cs2, oi2)
+
+    o = ws2.shape[-1]
+    cut = (r_block - 1) * g
+    ye_m, yo_m = epi(acc_e[:cut]), epi(acc_o[:cut])
+    ye_l, yo_l = epi(last_e), epi(last_o)
+    _store_pf2(out2, r_block, g, o, ye_m, yo_m, ye_l, yo_l)
+    _store_pf2(
+        pout, r_block, g, o // 4,
+        _pool_slots(ye_m, oi2).astype(jnp.int8),
+        _pool_slots(yo_m, oi2).astype(jnp.int8),
+        _pool_slots(ye_l, oi2).astype(jnp.int8),
+        _pool_slots(yo_l, oi2).astype(jnp.int8),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h_img", "r_block", "interpret"),
+)
+def entry_chain_pf2(xt, we, wh, wl, b1, w2, b2, *, h_img: int,
+                    out_scale1: float, quant2, r_block: Optional[int] = None,
+                    interpret: bool = False):
+    """Fused level-1 serving chain on a pair-major input: conv3entry_pf2
+    + conv2x2_pf2(pool=True) with the intermediate c1_1 tensor VMEM-
+    resident (never written to HBM — its only consumer is c1_2).
+    Bit-identical to the two-kernel composition: same requant points
+    (c1_1 quantizes at ``out_scale1``, c1_2's epilogue uses ``quant2 =
+    {chan_scale, out_scale}``), same tap/roll/patch structure.
+
+    xt: [N, H·12, G] pair-major (entry_transform_pf2); we/wh/wl:
+    [48, 4O] entry operands (entry_weights_pf2); w2: int8 [2, 2, 4O, 4O]
+    c1_2 weight. Returns (conv2_out pf2 [N, nb·R·G, 8O] s8 — the level-1
+    skip — and the pooled paired handoff [N, nb·R·G, 2O] s8).
+
+    Reference semantics: UNet encoder level 1 (conv1_1+conv1_2+pool,
+    /root/reference/models/unet.py:117-130), fused in the s2d/pf2
+    formulation."""
+    n, h12, g = xt.shape
+    assert h12 == 12 * h_img, (h12, h_img)
+    o4 = we.shape[-1]
+    o = w2.shape[-1]
+    assert o4 % 128 == 0 and o % 128 == 0 and g % 32 == 0, (o4, o, g)
+    assert w2.dtype == jnp.int8, "entry_chain_pf2 is the int8 path"
+    h1 = (h_img - 2) // 2      # c1_1 rows
+    h_out = h1 - 1             # c1_2 rows
+    if r_block is None:
+        # r=32 measured 11.36 ms vs 13.35 at r=8 (512²/B=128): the
+        # entry's per-row dots amortize over taller blocks — see
+        # benchmarks/chain_sweep.py
+        r_block = _auto_r(h_out, 32)
+    r_block = max(2, min(r_block, h_out))
+    r_block += r_block % 2     # next-ref block offset needs R even
+    nb = pl.cdiv(h_out, r_block)
+    grid = (n, nb)
+    ws2 = jnp.concatenate(
+        [w2[0, 0], w2[0, 1], w2[1, 0], w2[1, 1]], axis=0
+    )
+    oi1_arr, oi1_spec = _smem_scalar(1.0 / out_scale1)
+    oi2_arr, oi2_spec = _smem_scalar(1.0 / quant2["out_scale"])
+    cs2 = jnp.asarray(quant2["chan_scale"], jnp.float32)
+    parts = [
+        we.astype(xt.dtype), wh.astype(xt.dtype), wl.astype(xt.dtype),
+        b1.astype(jnp.float32), oi1_arr, ws2, b2.astype(jnp.float32),
+        cs2, oi2_arr,
+    ]
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [vspec, vspec, vspec, vspec, oi1_spec, vspec, vspec,
+                vspec, oi2_spec]
+    nb48 = h12 // 48 - 1
+    rb2 = r_block // 2
+    in_specs += [
+        pl.BlockSpec((1, 24 * r_block, g), lambda n_, i: (n_, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, 48, g),
+            lambda n_, i: (n_, jnp.minimum(rb2 * (i + 1), nb48), 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    kernel = functools.partial(_entry_chain_kernel, r_block, g, o4)
+    out2, pooled = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, nb * r_block * g, 2 * o), jnp.int8),
+            jax.ShapeDtypeStruct((n, nb * r_block * g, o // 2), jnp.int8),
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, r_block * g, 2 * o), lambda n_, i: (n_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_block * g, o // 2),
+                         lambda n_, i: (n_, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(((r_block + 1) * g, 2 * o4), jnp.int8)
+        ],
+        interpret=_interp(interpret),
+    )(*parts, xt, xt)
+    return out2, pooled
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("h_img", "relu", "r_block", "interpret"),

@@ -680,3 +680,61 @@ def test_conv3entry_pf2_bf16_requant(np_rng):
     got = unpad_pairs(got, w_img // 4, h_out, w_out)
     diff = np.abs(np.asarray(got, np.float32) - want_q)
     assert diff.max() <= 1.0, diff.max()
+
+
+def test_entry_chain_pf2_bitexact_vs_two_kernels(np_rng):
+    """entry_chain_pf2 (fused c1_1+c1_2+pool, VMEM-resident c1_1) must be
+    BIT-identical to the two-kernel composition it replaces: same requant
+    points, same tap/roll/patch structure."""
+    from segmentation_tpu.nn.pallas.conv_flat import (
+        conv2x2_pf2, conv3entry_pf2, entry_chain_pf2,
+        entry_transform_pf2, entry_weights_pf2,
+    )
+
+    h_img, w_img, o = 38, 512, 32
+    o4 = 4 * o
+    out_s1 = 1 / 16.0
+    x = jnp.asarray(np_rng.random(size=(2, h_img, w_img, 3)),
+                    jnp.bfloat16)
+    w3 = np.asarray(np_rng.normal(size=(3, 3, 3, o)) * 0.2, np.float32)
+    b1 = np_rng.normal(size=(o,)).astype(np.float32) * 0.1
+    w2 = np.asarray(
+        np_rng.integers(-90, 90, size=(2, 2, o4, o4)), np.int8
+    )
+    b2 = np_rng.normal(size=(o4,)).astype(np.float32) * 0.1
+    cs2 = (np_rng.random(size=(o4,)).astype(np.float32) * 0.01
+           + 0.001) * out_s1
+    q2 = {"chan_scale": jnp.asarray(cs2), "out_scale": jnp.float32(0.05)}
+
+    we, wh, wl = (jnp.asarray(v, jnp.bfloat16)
+                  for v in entry_weights_pf2(w3))
+    xt = entry_transform_pf2(x)
+    b1t = jnp.tile(jnp.asarray(b1), 4)
+    b2t = jnp.tile(jnp.asarray(b2), 1)
+
+    v1 = conv3entry_pf2(
+        xt, we, wh, wl, b1t, h_img=h_img, r_block=4,
+        quant={"out_scale": jnp.float32(out_s1)}, interpret=True,
+    )
+    h1 = (h_img - 2) // 2
+    want_y, want_p = conv2x2_pf2(
+        v1, jnp.asarray(w2), b2t, h=h1, w_real=(w_img - 2) // 2,
+        s2=w_img // 4, pool=True, quant=q2, r_block=4, interpret=True,
+    )
+
+    got_y, got_p = entry_chain_pf2(
+        xt, we, wh, wl, b1t, jnp.asarray(w2), b2t, h_img=h_img,
+        out_scale1=out_s1, quant2=q2, r_block=4, interpret=True,
+    )
+    # identical real region (padded block tails may differ: the chain's
+    # junk rows come from clamped raw-input reads, the two-kernel path's
+    # from clamped c1_1 reads)
+    h2 = h1 - 1
+    g = w_img // 4
+    rows = h2 * g
+    np.testing.assert_array_equal(
+        np.asarray(got_y[:, :rows]), np.asarray(want_y[:, :rows])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_p[:, :rows]), np.asarray(want_p[:, :rows])
+    )

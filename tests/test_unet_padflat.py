@@ -218,3 +218,26 @@ def test_padflat_bf16_fused_entry(monkeypatch):
     agree = (np.argmax(np.asarray(got), -1)
              == np.argmax(np.asarray(want), -1)).mean()
     assert agree > 0.999, agree
+
+
+def test_padflat_int8_entry_chain_bitexact(monkeypatch):
+    """256²: the fused level-1 chain (c1_1+c1_2+pool in one kernel,
+    c1_1 VMEM-resident) engages and is BIT-identical to the two-kernel
+    padflat path it replaces — same requant points, same structure."""
+    from segmentation_tpu.models.unet_int8 import UNetS2DInt8
+
+    monkeypatch.setenv("SEG_PALLAS_INTERPRET", "1")
+    hw = (256, 256)
+    mcfg, params = _params(hw=hw)
+    x = _input(2, hw=hw)
+    calib = [_input(3, hw=hw)]
+
+    q = UNetS2DInt8(mcfg, padflat=True)
+    prepared = q.prepare(params, calib_batches=calib)
+    assert q._pf_entry_chain(prepared, "conv1_1", "conv1_2", x) \
+        is not None
+    got = q.apply(prepared, x)
+
+    monkeypatch.setenv("SEG_TPU_FUSED_CHAIN", "0")
+    want = q.apply(prepared, x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
