@@ -216,10 +216,12 @@ def measured_floor():
     """
     ctx = [  # (site, in-context ms, floor ms, kind, provenance)
         ("entry pair-major copy", 0.64, 0.62, "E", "stream-BW relayout"),
-        ("c1_1 fused entry", 4.31, 4.31, "I",
-         "r-sweep saturates at 32; tap-minor/per-row forms all worse"),
-        ("c1_2+pool pf2", 7.98, 5.93, "M",
-         "anatomy base form; +2.05 store structure bracketed"),
+        ("level-1 chain (c1_1+c1_2+pool)", 11.32, 10.24, "M",
+         "ONE fused kernel, c1_1 VMEM-resident (entry_chain_pf2); "
+         "floor = entry 4.31 (r-sweep/tap-minor exhausted) + c1_2 5.93 "
+         "(anatomy base form; 6 store reformulations all worse). The "
+         "2.1 GB saved HBM round-trip bought only ~1 ms: the site is "
+         "compute-bound (MXU+VPU serialize per block, DMA was hidden)"),
         ("c2_1 strided", 3.83, 3.40, "E", "spec MXU x1.26 est"),
         ("c2_2+pool", 4.50, 4.32, "I", "isolated r=32"),
         ("std XLA levels 3-5+6-7", 11.33, 9.33, "E",
@@ -232,7 +234,7 @@ def measured_floor():
          "A-blocked probe (scratch fill is only 0.8 ms; stride "
          "unification costs more in padding traffic than it saves)"),
         ("c9_2+head", 2.91, 2.40, "E", "spec x1.26 + head dots"),
-        ("misc small ops", 6.38, 5.00, "E", "residual to 57.9 total"),
+        ("misc small ops", 6.46, 5.00, "E", "residual to 57.0 total"),
     ]
     t_ctx = sum(r[1] for r in ctx)
     t_fl = sum(r[2] for r in ctx)
