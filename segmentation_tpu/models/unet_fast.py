@@ -55,6 +55,19 @@ _DN = ("NHWC", "HWIO", "NHWC")
 _PALLAS_CONV = os.environ.get("SEG_TPU_PALLAS_CONV", "auto")
 
 
+def _train_backend_ok() -> bool:
+    from segmentation_tpu.nn.pallas.train import backend_ok
+
+    return backend_ok()
+
+
+def _train_vjp_ok(c: int, o: int) -> bool:
+    """Gate for the trainable-Pallas (custom-VJP) dispatch at the
+    standard packed sites: lane-aligned channels + single-chip TPU (or
+    interpret mode)."""
+    return c % 128 == 0 and o % 128 == 0 and _train_backend_ok()
+
+
 def _pallas_conv_ok(c: int, o: int) -> bool:
     if _PALLAS_CONV == "0":
         return False
@@ -744,6 +757,11 @@ class UNetS2DInference:
     # path off-TPU, for unsupported geometry, under dropout, and during
     # calibration.
     padflat: bool = True
+    # Trainable-Pallas dispatch (nn.pallas.train): the 4-D forward runs
+    # the serving kernels wrapped in custom_vjp (Pallas forward, XLA
+    # backward). Set by UNetS2D; mutually exclusive with allow_pallas
+    # (which enables the inference-only fusions that carry no VJP).
+    pallas_vjp: bool = False
 
     @property
     def packed_levels(self) -> int:
@@ -752,19 +770,56 @@ class UNetS2DInference:
     # ---- conv-site hooks (overridden by quantized subclasses) ------------
     # Packed activations are FLAT [N, hp, wp, 4C] at every hook boundary.
     def _strided_conv(self, p, name, h, relu=True, paired=False):
+        w4 = p[f"{name}/w4"]
+        if (
+            self.pallas_vjp
+            and not paired
+            and w4.shape[-1] % 128 == 0
+            and h.shape[-1] >= 16
+            and (2 * h.shape[-1]) % 64 == 0
+            and h.shape[1] > 5
+            and h.shape[2] % 2 == 0
+            and _train_backend_ok()
+        ):
+            from segmentation_tpu.nn.pallas.train import conv4x4s2_t
+
+            return conv4x4s2_t(h, w4, tile_bias4(p[f"{name}/b"]), relu)
         return strided_packed_conv3_flat(
-            h, p[f"{name}/w4"], p[f"{name}/b"], relu, self.allow_pallas,
-            paired,
+            h, w4, p[f"{name}/b"], relu, self.allow_pallas, paired,
         )
 
     def _packed_conv(self, p, name, x4, relu=True, head=None):
+        w2 = p[f"{name}/w2"]
+        if (
+            self.pallas_vjp
+            and head is None
+            and x4.shape[1] > 2
+            and _train_vjp_ok(x4.shape[-1], w2.shape[-1])
+        ):
+            from segmentation_tpu.nn.pallas.train import conv2x2_t
+
+            return conv2x2_t(x4, w2, tile_bias4(p[f"{name}/b"]), relu)
         return packed_conv3_flat(
-            x4, p[f"{name}/w2"], p[f"{name}/b"], relu, self.allow_pallas,
+            x4, w2, p[f"{name}/b"], relu, self.allow_pallas,
             head=head,
         )
 
     def _packed_conv_dual(self, p, name, skip4, up4, relu=True,
                           a_offset=(0, 0), a_slot_phase=None):
+        if (
+            self.pallas_vjp
+            and a_offset == (0, 0)
+            and a_slot_phase is None
+            and skip4.shape == up4.shape
+            and up4.shape[1] > 2
+            and _train_vjp_ok(up4.shape[-1], p[f"{name}/w2a"].shape[-1])
+        ):
+            from segmentation_tpu.nn.pallas.train import conv2x2_dual_t
+
+            return conv2x2_dual_t(
+                skip4, up4, p[f"{name}/w2a"], p[f"{name}/w2b"],
+                tile_bias4(p[f"{name}/b"]), relu,
+            )
         if a_offset != (0, 0) or a_slot_phase is not None:
             # crop-fold path: only reached when _dual_can_fold_crop said
             # the Pallas kernel will engage — the skip center-crop rides
@@ -819,7 +874,8 @@ class UNetS2DInference:
                 x4, p[f"{name}/w2"], tile_bias4(p[f"{name}/b"]), relu=relu,
                 pool_pairs=pool_pairs,
             )
-        if type(self)._packed_conv is UNetS2DInference._packed_conv:
+        if (type(self)._packed_conv is UNetS2DInference._packed_conv
+                and not self.pallas_vjp):
             # honor the per-level gate in the fallback too (a Pallas conv
             # here with an XLA pool re-creates the standalone-pool pass)
             h4 = packed_conv3_flat(
@@ -1019,15 +1075,27 @@ class UNetS2DInference:
     # 4-D-path deconv hooks (the int8 subclass records calibration here
     # and dequantizes resident inputs hitting this float fallback)
     def _deconv4_matmul(self, p, up, h, width):
+        wm = p[f"{up}/wm"]
+        if self.pallas_vjp and _train_vjp_ok(h.shape[-1], wm.shape[-1]):
+            from segmentation_tpu.nn.pallas.train import matmul_rows_t
+
+            return matmul_rows_t(h, wm, tile_bias4(p[f"{up}/b"]), True)
         return deconv2_as_matmul_flat(
-            h, p[f"{up}/wm"], p[f"{up}/b"], width,
-            pallas=self.allow_pallas,
+            h, wm, p[f"{up}/b"], width, pallas=self.allow_pallas,
         )
 
     def _deconv4_packed(self, p, up, h, width):
+        wm = p[f"{up}/wm"]
+        if (
+            self.pallas_vjp
+            and h.shape[1] > 2
+            and _train_vjp_ok(h.shape[-1], wm.shape[-1])
+        ):
+            from segmentation_tpu.nn.pallas.train import deconv_packed_t
+
+            return deconv_packed_t(h, wm, tile_bias4(p[f"{up}/b"]), True)
         return deconv2_packed_in_flat(
-            h, p[f"{up}/wm"], p[f"{up}/b"], width,
-            pallas=self.allow_pallas,
+            h, wm, p[f"{up}/b"], width, pallas=self.allow_pallas,
         )
 
     def _pf_deconv_matmul(self, p, up, h4, width) -> PadFlat:
@@ -1492,12 +1560,18 @@ class UNetS2D:
             c = width
         declare_conv("output", c, nc, ksz=1)
 
-        # Training picks the reduce-formulated pool (lighter backward —
-        # ~11% faster steps at 512²/B=128; see packed_pool_flat) and the
-        # XLA convs (Pallas kernels are forward-only).
+        # Training picks the argmax-index pool VJP and the XLA convs.
+        # The trainable-Pallas dispatch (nn.pallas.train: serving
+        # kernels forward, XLA linear-transpose backward) is wired here
+        # but OFF by default — measured 422 vs 305 ms/step at 512²/B=128
+        # because custom_vjp force-saves every site's input+output and
+        # defeats XLA's remat policy (see nn/pallas/train.py docstring).
+        # SEG_PALLAS_TRAIN=1 opts in. allow_pallas stays False — it
+        # gates the inference-only fusions (conv+pool, folded crops,
+        # heads) that carry no VJP.
         fast = UNetS2DInference(
             self.cfg, self.levels, pool_slices=False, allow_pallas=False,
-            pool_select_vjp=True,
+            pool_select_vjp=True, pallas_vjp=True,
         )
         if self.cfg.bayesian:
             # Same MC-dropout sites (and liveness contract) as models.unet:
