@@ -63,18 +63,36 @@ def backend_ok() -> bool:
     kernels (dgrad/wgrad) in the same flat layout with planned
     residuals, not XLA-transpose backward around Pallas forwards.
 
+    ``SEG_PALLAS_TRAIN=2`` selects the recompute-mask variant: each
+    wrapper saves ONLY its input (the same residual set standard
+    autodiff keeps) and re-runs the Pallas forward inside the backward
+    to rebuild the ReLU mask — trading one forward kernel per site for
+    the halved activation residency that sank variant 1. ALSO MEASURED,
+    ALSO LOSES: B=128 fails to compile outright (Pallas custom calls in
+    the backward defeat the scheduler where plain variant-1 compiled),
+    and B=64 runs at 267 img/s — the recompute kernels serialize
+    against the backward chain instead of hiding. The custom-call seam
+    is the problem, not the residual policy.
+
     Interpret mode (CPU parity tests) enables it regardless so the
     wrappers stay tested. Per-site channel alignment is checked at the
     model hooks (C%128 for conv2x2/matmul, 2C%64 for the strided entry).
     """
     if os.environ.get("SEG_PALLAS_INTERPRET") == "1":
         return True
-    if os.environ.get("SEG_PALLAS_TRAIN") != "1":
+    if os.environ.get("SEG_PALLAS_TRAIN") not in ("1", "2"):
         return False
     try:
         return jax.default_backend() == "tpu" and len(jax.devices()) == 1
     except Exception:  # backend not initialized yet
         return False
+
+
+def _save_output() -> bool:
+    """Variant switch: True (SEG_PALLAS_TRAIN=1) saves the output for
+    the ReLU mask; False (=2) recomputes it in the backward. Read at
+    trace time — callers re-trace per env configuration."""
+    return os.environ.get("SEG_PALLAS_TRAIN") != "2"
 
 
 def _mask(g, y, relu):
@@ -89,7 +107,7 @@ def _db(g, b4):
 
 # --------------------------------------------------------------- conv2x2
 @functools.lru_cache(None)
-def _conv2x2_t(relu: bool):
+def _conv2x2_t(relu: bool, save_y: bool):
     def lin(x, w):
         return lax.conv_general_dilated(
             x, w.astype(x.dtype), (1, 1), "VALID", dimension_numbers=_DN
@@ -100,10 +118,12 @@ def _conv2x2_t(relu: bool):
 
     def fwd(x, w, b4):
         y = prim(x, w, b4)
-        return y, (x, w, b4, y if relu else None)
+        return y, (x, w, b4, y if relu and save_y else None)
 
     def bwd(res, g):
         x, w, b4, y = res
+        if relu and y is None:
+            y = prim(x, w, b4)  # recompute-mask variant
         g = _mask(g, y, relu)
         (dx,) = jax.linear_transpose(lambda t: lin(t, w), x)(g)
         (dw,) = jax.linear_transpose(lambda t: lin(x, t), w)(g)
@@ -116,12 +136,12 @@ def _conv2x2_t(relu: bool):
 
 def conv2x2_t(x, w, b4, relu: bool = True):
     """Trainable conv2x2_flat: [N,H,W,C] x [2,2,C,O] -> [N,H-1,W-1,O]."""
-    return _conv2x2_t(relu)(x, w, b4)
+    return _conv2x2_t(relu, _save_output())(x, w, b4)
 
 
 # ---------------------------------------------------------- dual conv2x2
 @functools.lru_cache(None)
-def _conv2x2_dual_t(relu: bool):
+def _conv2x2_dual_t(relu: bool, save_y: bool):
     def lin(x, w):
         return lax.conv_general_dilated(
             x, w.astype(x.dtype), (1, 1), "VALID", dimension_numbers=_DN
@@ -132,10 +152,12 @@ def _conv2x2_dual_t(relu: bool):
 
     def fwd(xa, xb, wa, wb, b4):
         y = prim(xa, xb, wa, wb, b4)
-        return y, (xa, xb, wa, wb, b4, y if relu else None)
+        return y, (xa, xb, wa, wb, b4, y if relu and save_y else None)
 
     def bwd(res, g):
         xa, xb, wa, wb, b4, y = res
+        if relu and y is None:
+            y = prim(xa, xb, wa, wb, b4)  # recompute-mask variant
         g = _mask(g, y, relu)
         (dxa,) = jax.linear_transpose(lambda t: lin(t, wa), xa)(g)
         (dxb,) = jax.linear_transpose(lambda t: lin(t, wb), xb)(g)
@@ -151,12 +173,12 @@ def _conv2x2_dual_t(relu: bool):
 def conv2x2_dual_t(xa, xb, wa, wb, b4, relu: bool = True):
     """Trainable conv2x2_dual_flat (concat-free decoder conv): same-shape
     operands only (the crop is materialized upstream in training)."""
-    return _conv2x2_dual_t(relu)(xa, xb, wa, wb, b4)
+    return _conv2x2_dual_t(relu, _save_output())(xa, xb, wa, wb, b4)
 
 
 # ----------------------------------------------------- strided entry conv
 @functools.lru_cache(None)
-def _conv4x4s2_t(relu: bool):
+def _conv4x4s2_t(relu: bool, save_y: bool):
     def lin(x, w4):
         return lax.conv_general_dilated(
             x, w4.astype(x.dtype), (2, 2), "VALID", dimension_numbers=_DN
@@ -167,10 +189,12 @@ def _conv4x4s2_t(relu: bool):
 
     def fwd(x, w4, b4):
         y = prim(x, w4, b4)
-        return y, (x, w4, b4, y if relu else None)
+        return y, (x, w4, b4, y if relu and save_y else None)
 
     def bwd(res, g):
         x, w4, b4, y = res
+        if relu and y is None:
+            y = prim(x, w4, b4)  # recompute-mask variant
         g = _mask(g, y, relu)
         (dx,) = jax.linear_transpose(lambda t: lin(t, w4), x)(g)
         (dw,) = jax.linear_transpose(lambda t: lin(x, t), w4)(g)
@@ -184,12 +208,12 @@ def _conv4x4s2_t(relu: bool):
 def conv4x4s2_t(x, w4, b4, relu: bool = True):
     """Trainable conv4x4s2_flat (strided s2d entry conv): unpacked
     [N,H,W,C] -> packed flat [N,(H-2)//2,(W-2)//2,O4]."""
-    return _conv4x4s2_t(relu)(x, w4, b4)
+    return _conv4x4s2_t(relu, _save_output())(x, w4, b4)
 
 
 # --------------------------------------------------- deconv (matmul form)
 @functools.lru_cache(None)
-def _matmul_rows_t(relu: bool):
+def _matmul_rows_t(relu: bool, save_y: bool):
     def lin(x, wm):
         return jnp.einsum("nijc,ck->nijk", x, wm.astype(x.dtype))
 
@@ -198,10 +222,12 @@ def _matmul_rows_t(relu: bool):
 
     def fwd(x, wm, b4):
         y = prim(x, wm, b4)
-        return y, (x, wm, b4, y if relu else None)
+        return y, (x, wm, b4, y if relu and save_y else None)
 
     def bwd(res, g):
         x, wm, b4, y = res
+        if relu and y is None:
+            y = prim(x, wm, b4)  # recompute-mask variant
         g = _mask(g, y, relu)
         (dx,) = jax.linear_transpose(lambda t: lin(t, wm), x)(g)
         (dwm,) = jax.linear_transpose(lambda t: lin(x, t), wm)(g)
@@ -214,7 +240,7 @@ def _matmul_rows_t(relu: bool):
 
 def matmul_rows_t(x, wm, b4, relu: bool = True):
     """Trainable matmul_rows_flat (2x2/2 deconv, unpacked input)."""
-    return _matmul_rows_t(relu)(x, wm, b4)
+    return _matmul_rows_t(relu, _save_output())(x, wm, b4)
 
 
 # --------------------------------------------------- deconv (packed input)
@@ -231,16 +257,18 @@ def _deconv_lin(x4, wm):
 
 
 @functools.lru_cache(None)
-def _deconv_packed_t(relu: bool):
+def _deconv_packed_t(relu: bool, save_y: bool):
     def prim(x4, wm, b4):
         return pk.deconv_packed_flat(x4, wm, b4, relu=relu)
 
     def fwd(x4, wm, b4):
         y = prim(x4, wm, b4)
-        return y, (x4, wm, b4, y if relu else None)
+        return y, (x4, wm, b4, y if relu and save_y else None)
 
     def bwd(res, g):
         x4, wm, b4, y = res
+        if relu and y is None:
+            y = prim(x4, wm, b4)  # recompute-mask variant
         g = _mask(g, y, relu)
         (dx,) = jax.linear_transpose(lambda t: _deconv_lin(t, wm), x4)(g)
         (dwm,) = jax.linear_transpose(lambda t: _deconv_lin(x4, t), wm)(g)
@@ -253,4 +281,4 @@ def _deconv_packed_t(relu: bool):
 
 def deconv_packed_t(x4, wm, b4, relu: bool = True):
     """Trainable deconv_packed_flat (2x2/2 deconv, packed in/out)."""
-    return _deconv_packed_t(relu)(x4, wm, b4)
+    return _deconv_packed_t(relu, _save_output())(x4, wm, b4)

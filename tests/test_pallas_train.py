@@ -52,9 +52,11 @@ def _check(got, want, atol=2e-3):
                                    rtol=1e-3, atol=atol)
 
 
+@pytest.mark.parametrize("variant", ["1", "2"])
 @pytest.mark.parametrize("relu", [True, False])
-def test_conv2x2_t_grads(monkeypatch, np_rng, relu):
+def test_conv2x2_t_grads(monkeypatch, np_rng, relu, variant):
     monkeypatch.setenv("SEG_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("SEG_PALLAS_TRAIN", variant)  # 2 = recompute mask
     c = o = 128
     x = jnp.asarray(np_rng.normal(size=(2, 7, 9, c)), jnp.float32)
     w = jnp.asarray(np_rng.normal(size=(2, 2, c, o)) * 0.05, jnp.float32)
@@ -122,8 +124,10 @@ def test_matmul_rows_t_grads(monkeypatch, np_rng):
     _check(got, want)
 
 
-def test_deconv_packed_t_grads(monkeypatch, np_rng):
+@pytest.mark.parametrize("variant", ["1", "2"])
+def test_deconv_packed_t_grads(monkeypatch, np_rng, variant):
     monkeypatch.setenv("SEG_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("SEG_PALLAS_TRAIN", variant)
     c, o = 32, 32  # packed widths 4C = 4O = 128
     x4 = jnp.asarray(np_rng.normal(size=(2, 5, 7, 4 * c)), jnp.float32)
     wm = jnp.asarray(np_rng.normal(size=(c, 4 * o)) * 0.05, jnp.float32)
