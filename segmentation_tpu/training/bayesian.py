@@ -25,17 +25,34 @@ def mc_sample(
     rng: jax.Array,
     x: jnp.ndarray,
     n_samples: int,
+    samples_per_pass: int = 1,
 ) -> jnp.ndarray:
     """[S, N, H, W, C] sigmoid probabilities from S stochastic forwards.
-    Serial ``lax.map`` keeps peak memory at one activation set."""
-    keys = jax.random.split(rng, n_samples)
+
+    ``samples_per_pass`` batches that many MC samples into ONE forward by
+    tiling x along the batch axis — legal because dropout masks are drawn
+    per batch element (nn.layers.dropout masks the full activation shape),
+    so batch-tiled samples are iid exactly like sequential keyed passes.
+    Small batches of big tiles underutilize the chip (measured: 8×
+    lax.map of B=2 1024² tiles → 14.5 tiles/s; one B=16 pass → the MXU
+    sees a real batch). Serial ``lax.map`` over the remaining chunks
+    keeps peak memory at one chunk's activation set."""
+    sp = max(1, min(samples_per_pass, n_samples))
+    if n_samples % sp:
+        raise ValueError(f"n_samples={n_samples} not divisible by "
+                         f"samples_per_pass={sp}")
+    keys = jax.random.split(rng, n_samples // sp)
+    n = x.shape[0]
+    xt = jnp.tile(x, (sp,) + (1,) * (x.ndim - 1)) if sp > 1 else x
 
     def one(k):
-        out, _ = apply_fn(params, model_state, k, x, train=False)
+        out, _ = apply_fn(params, model_state, k, xt, train=False)
         logits = out[0] if isinstance(out, tuple) else out
-        return jax.nn.sigmoid(logits.astype(jnp.float32))
+        p = jax.nn.sigmoid(logits.astype(jnp.float32))
+        return p.reshape(sp, n, *p.shape[1:])
 
-    return jax.lax.map(one, keys)
+    chunks = jax.lax.map(one, keys)  # [S/sp, sp, N, H, W, C]
+    return chunks.reshape(len(keys) * sp, n, *chunks.shape[3:])
 
 
 def predictive_moments(samples: jnp.ndarray):

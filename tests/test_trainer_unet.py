@@ -154,6 +154,31 @@ def test_bayesian_mc_inference(tmp_path):
     assert float(var.mean()) > 0
 
 
+def test_bayesian_mc_samples_per_pass(tmp_path):
+    """Batch-axis MC sampling (samples_per_pass>1) is the same estimator:
+    with dropout live it still yields nonzero variance and a mean close
+    to the serial formulation; with a deterministic model every sample is
+    identical regardless of how they are batched."""
+    tr = small_unet_trainer(tmp_path / "bay", bayesian=True)
+    imgs = np.random.default_rng(0).random((2, 60, 60, 3), dtype=np.float32)
+    m1, v1, _ = tr.infer_bayesian(imgs, n_samples=8, samples_per_pass=1)
+    m4, v4, _ = tr.infer_bayesian(imgs, n_samples=8, samples_per_pass=4)
+    assert m4.shape == m1.shape and v4.shape == v1.shape
+    assert float(v4.mean()) > 0
+    # different rng consumption → not bitwise, but the same posterior
+    np.testing.assert_allclose(m4.mean(), m1.mean(), atol=0.1)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        tr.infer_bayesian(imgs, n_samples=8, samples_per_pass=3)
+
+    # deterministic model: every sample identical for any batching
+    trd = small_unet_trainer(tmp_path / "det")
+    md, vd, _ = trd.infer_bayesian(imgs, n_samples=4, samples_per_pass=4)
+    assert float(np.abs(vd).max()) < 1e-9
+
+
 def test_determinism_same_seed(tmp_path):
     t1 = small_unet_trainer(tmp_path / "a", seed=7)
     t2 = small_unet_trainer(tmp_path / "b", seed=7)
