@@ -212,7 +212,9 @@ def main():
 
         best_q = 0.0
         sweep_q = {}
-        for bq in (128, 256):
+        # B=512 measured standalone: 2,208 img/s vs 2,160 @256 (compiles
+        # clean; input 805 MB, freed per entry via x.delete()).
+        for bq in (128, 256, 512):
             try:
                 ips = queued_throughput(infer_q1, bq, 1)
                 best_q = max(best_q, ips)
