@@ -136,11 +136,14 @@ def main(batch=128, steps=3):
         cats[c] += dur
         members[c].append((dur, name))
 
-    step_ms = cats.pop("_module", 0) / steps / 1e3 / steps  # avg of module evts
+    step_ms = cats.pop("_module", 0) / steps / 1e3  # avg module evt, ms
     op_total = sum(cats.values())
-    print(f"\nstep (module event) = {step_ms * steps / 1:.1f} ... "
+    print(f"\nstep (module event) = {step_ms:.1f} ms ... "
           f"op-sum = {op_total / steps / 1e3:.1f} ms/step "
-          f"(batch {batch}) -> {batch * steps * 1e6 / op_total:.0f} img/s")
+          f"(batch {batch}) -> "
+          f"{batch * 1e3 / step_ms if step_ms else 0:.0f} img/s (module) / "
+          f"{batch * steps * 1e6 / op_total:.0f} img/s (op-sum, overstates "
+          f"when ops overlap poorly)")
     for c, dur in cats.most_common():
         print(f"{dur / steps / 1e3:8.2f} ms  {100 * dur / op_total:5.1f}%  {c}")
         for d, n in sorted(members[c], reverse=True)[:6]:

@@ -75,9 +75,19 @@ def backend_ok() -> bool:
     is the problem, not the residual policy.
 
     Interpret mode (CPU parity tests) enables it regardless so the
-    wrappers stay tested. Per-site channel alignment is checked at the
-    model hooks (C%128 for conv2x2/matmul, 2C%64 for the strided entry).
+    wrappers stay tested — unless ``SEG_PALLAS_TRAIN=0`` is set
+    explicitly, which always wins (so CPU interpret runs can select the
+    pure-XLA trainable path). Per-site channel alignment is checked at
+    the model hooks (C%128 for conv2x2/matmul, 2C%64 for the strided
+    entry).
+
+    NOTE: like ``_save_output``, this is read at TRACE time. A jitted
+    train step (and the lru_cache'd custom_vjp closures) compiled under
+    one setting keeps that dispatch if the env var changes later
+    in-process — set the env before building the trainer.
     """
+    if os.environ.get("SEG_PALLAS_TRAIN") == "0":
+        return False
     if os.environ.get("SEG_PALLAS_INTERPRET") == "1":
         return True
     if os.environ.get("SEG_PALLAS_TRAIN") not in ("1", "2"):
