@@ -7,11 +7,12 @@ restore-newest via directory scan or an explicit ``load_snapshot_from`` path,
 resume restores the persisted step counter, restore failure falls through to
 fresh training with a warning.
 
-Improvements over the reference: writes are atomic (tmp file + rename), and
-sharded/committed device arrays are gathered safely via
-``jax.device_get``. Storage format is a single ``.npz`` holding the flattened
-param/state/opt-state pytrees plus a JSON manifest of the tree structure —
-no framework-version lock-in.
+Improvements over the reference: writes are atomic (tmp file + rename),
+multi-host runs have exactly one writer (process 0) with a cross-host
+barrier before rotation, and sharded/committed device arrays are gathered
+safely via ``jax.device_get``. Storage format is a single ``.npz`` holding
+the flattened param/state/opt-state pytrees plus a JSON manifest of the
+tree structure — no framework-version lock-in.
 """
 
 from __future__ import annotations
@@ -41,27 +42,47 @@ def save(
     tree: Any,
     max_to_keep: int = 1,
 ) -> str:
-    """Atomically write ``{save_dir}/{name}.ckpt-{step}.npz`` and rotate."""
-    os.makedirs(save_dir, exist_ok=True)
-    flat, treedef = _flatten(tree)
-    # Manifest stores the keypath structure for robust restore.
-    paths = [
-        jax.tree_util.keystr(kp)
-        for kp, _ in jax.tree_util.tree_flatten_with_path(tree)[0]
-    ]
-    manifest = json.dumps({"step": int(step), "paths": paths})
+    """Atomically write ``{save_dir}/{name}.ckpt-{step}.npz`` and rotate.
 
+    Multi-host safe: on a pod slice (``jax.process_count() > 1``) only
+    process 0 gathers the (replicated) state and writes — every other host
+    skips both the ``device_get`` gather and the tmp+rename, so shared
+    storage sees exactly one writer. All processes then barrier so no host
+    returns (and e.g. exits, or proceeds to restore-on-preemption) before
+    the checkpoint exists; rotation runs on process 0 AFTER the barrier,
+    so stale checkpoints are only deleted once every host has observed the
+    new one. Single-process runs take the plain path with no collective.
+    """
     final = os.path.join(save_dir, f"{name}.ckpt-{int(step)}.npz")
-    fd, tmp = tempfile.mkstemp(dir=save_dir, suffix=".tmp")
-    try:
-        with os.fdopen(fd, "wb") as f:
-            np.savez(f, __manifest__=manifest, **flat)
-        os.replace(tmp, final)
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+    pc = jax.process_count()
+    is_writer = pc == 1 or jax.process_index() == 0
 
-    _rotate(save_dir, name, max_to_keep, step=int(step))
+    if is_writer:
+        os.makedirs(save_dir, exist_ok=True)
+        flat, treedef = _flatten(tree)
+        # Manifest stores the keypath structure for robust restore.
+        paths = [
+            jax.tree_util.keystr(kp)
+            for kp, _ in jax.tree_util.tree_flatten_with_path(tree)[0]
+        ]
+        manifest = json.dumps({"step": int(step), "paths": paths})
+
+        fd, tmp = tempfile.mkstemp(dir=save_dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                np.savez(f, __manifest__=manifest, **flat)
+            os.replace(tmp, final)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    if pc > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"ckpt:{name}:{int(step)}")
+
+    if is_writer:
+        _rotate(save_dir, name, max_to_keep, step=int(step))
     return final
 
 

@@ -84,6 +84,38 @@ _WORKER = textwrap.dedent(
     else:
         raise AssertionError("local_batch_size(9) must raise")
 
+    # --- multi-host-safe checkpointing: single writer + barrier ----------
+    # Each process offers a DIFFERENT tree; only process 0's may land on
+    # disk. Both processes pass the same shared save_dir.
+    from segmentation_tpu.utils import checkpoint as ckpt_lib
+
+    save_dir = sys.argv[3]
+    tree = {"w": np.full((4,), float(pid), np.float32)}
+    # Process 1 must not even gather: poison its _flatten to prove the
+    # non-writer path never serializes.
+    if pid != 0:
+        def _boom(t):
+            raise AssertionError("non-zero process must not gather/write")
+        ckpt_lib._flatten = _boom
+    path = ckpt_lib.save(save_dir, "mh", step=7, tree=tree, max_to_keep=1)
+    # Barrier inside save() guarantees the file exists on every host now.
+    assert os.path.exists(path), path
+    restored, step = ckpt_lib.restore(path, {"w": np.zeros(4, np.float32)})
+    assert step == 7
+    np.testing.assert_allclose(restored["w"], 0.0)  # process 0's values
+    # Second save rotates: exactly one checkpoint remains, the new one.
+    tree2 = {"w": np.full((4,), 10.0 + pid, np.float32)}
+    if pid == 0:
+        ckpt_lib.save(save_dir, "mh", step=8, tree=tree2, max_to_keep=1)
+    else:
+        ckpt_lib.save(save_dir, "mh", step=8, tree=None, max_to_keep=1)
+    # Rotation runs on process 0 after save()'s internal barrier; sync once
+    # more so process 1's listing can't race the unlink.
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("after_rotate")
+    ckpts = ckpt_lib.list_checkpoints(save_dir, "mh")
+    assert [s for _, s in ckpts] == [8], ckpts
+
     print(f"MULTIHOST_OK {pid}")
     """
 )
@@ -102,9 +134,10 @@ def test_two_process_global_batch(tmp_path):
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     # Drop the parent test-process env that would pin 8 devices.
     env.pop("XLA_FLAGS", None)
+    ckpt_dir = str(tmp_path / "ckpts")
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(pid), coord],
+            [sys.executable, str(script), str(pid), coord, ckpt_dir],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env,
         )
