@@ -138,7 +138,9 @@ def main():
 
     best = 0.0
     sweep = {}
-    for batch in (64, 128):
+    # B=256/512 rows keep the bf16-vs-int8 comparison honest (int8 sweeps
+    # to 512 and gains from batch; bf16 gets the same chance).
+    for batch in (64, 128, 256, 512):
         try:
             ips = infer_throughput(batch)
             sweep[str(batch)] = round(ips, 1)
@@ -173,38 +175,83 @@ def main():
     # --- int8 serving path (calibrated PTQ on the padflat/pf2 kernels).
     # HEADLINE-ELIGIBLE: BASELINE's north star has no dtype constraint and
     # calibrated int8 is the production serving config — but only counts
-    # when its mask agreement vs the bf16 path clears 98.5% on a real
-    # batch (PTQ honesty guard).
+    # when, on TRAINED weights with in-distribution calibration, (a) the
+    # int8 mask agrees with the bf16 mask >=98.5% and (b) the mIoU delta
+    # vs bf16 is <=0.005 on held-out data (VERDICT r3 item 3: a guard on
+    # random weights + noise inputs said nothing about a trained
+    # segmenter's masks).
     try:
         from segmentation_tpu.models.unet_int8 import UNetS2DInt8
+        from segmentation_tpu.nn.shapes import center_crop_or_pad as _ccp
 
         q = UNetS2DInt8(mcfg, padflat=True)
-        calib = [
-            np.random.default_rng(7).random((4, 512, 512, 3)).astype(
-                np.float32
-            )
-        ]
-        prep_q = jax.tree_util.tree_map(
+        to_bf16 = lambda t: jax.tree_util.tree_map(  # noqa: E731
             lambda p: p.astype(jnp.bfloat16)
-            if jnp.issubdtype(p.dtype, jnp.floating) else p,
-            q.prepare(params, calib_batches=calib),
+            if jnp.issubdtype(p.dtype, jnp.floating) else p, t,
         )
 
-        # agreement guard (one batch, both paths)
-        xg = jax.jit(
-            lambda key: jax.random.uniform(
-                key, (32, 512, 512, 3), jnp.bfloat16
+        guard_ok = False
+        try:
+            # Train the flagship 512² config on the synthetic task (same
+            # mechanism as the convergence section, flagship scale).
+            from segmentation_tpu.core.config import TrainConfig
+            from segmentation_tpu.data.synthetic import SyntheticSegmentation
+            from segmentation_tpu.models.base import SegmentationTrainer
+
+            gds = SyntheticSegmentation(batch_size=8, hw=(512, 512), seed=11)
+            gtr = SegmentationTrainer(
+                UNet(mcfg), dataset=gds, model_cfg=mcfg,
+                train_cfg=TrainConfig(
+                    save_dir="/tmp/bench_guard_snap", learning_rate=3e-4,
+                ),
             )
-        )(jax.random.PRNGKey(17))
-        m_f = np.asarray(jax.jit(
-            lambda x: fast.apply_argmax(prepared, x)
-        )(xg))
-        m_q = np.asarray(jax.jit(
-            lambda x: q.apply_argmax(prep_q, x)
-        )(xg))
-        agree = float((m_f == m_q).mean())
-        xg.delete()
-        details["unet512_int8_mask_agreement"] = round(agree, 5)
+            for _ in range(120):
+                gtr.train_step()
+            tr_params = jax.device_get(gtr.state.params)
+            del gtr  # free params+Adam state HBM before serving evals
+            prep_t = to_bf16(fast.prepare(tr_params))
+            calib = [b["image"] for b in (gds.get_batch(),)]  # in-dist
+            prep_q = to_bf16(q.prepare(tr_params, calib_batches=calib))
+
+            infer_t = jax.jit(lambda x: fast.apply_argmax(prep_t, x))
+            infer_qg = jax.jit(lambda x: q.apply_argmax(prep_q, x))
+            held = SyntheticSegmentation(batch_size=8, hw=(512, 512),
+                                         seed=101)
+            from segmentation_tpu.training.losses import miou as _miou
+
+            agrees, mious_f, mious_q = [], [], []
+            for _ in range(4):
+                hb = held.get_batch()
+                xh = jnp.asarray(hb["image"], jnp.bfloat16)
+                m_f = infer_t(xh)
+                m_q = infer_qg(xh)
+                yh = _ccp(
+                    jnp.asarray(hb["mask"]), m_f.shape[1], m_f.shape[2]
+                )[..., 0]
+                agrees.append(float(jnp.mean(m_f == m_q)))
+                mious_f.append(float(_miou(m_f, yh, 2)))
+                mious_q.append(float(_miou(m_q, yh, 2)))
+            agree = float(np.mean(agrees))
+            miou_f = float(np.mean(mious_f))
+            miou_q = float(np.mean(mious_q))
+            delta = abs(miou_f - miou_q)
+            details["unet512_int8_mask_agreement"] = round(agree, 5)
+            details["unet512_miou_bf16"] = round(miou_f, 4)
+            details["unet512_miou_int8"] = round(miou_q, 4)
+            details["unet512_int8_miou_delta"] = round(delta, 5)
+            guard_ok = agree >= 0.985 and delta <= 0.005
+            details["unet512_int8_guard_ok"] = guard_ok
+        except Exception as e:  # noqa: BLE001
+            details["unet512_int8_guard_ok"] = f"failed: {e}"
+            # fall back to random weights so the throughput rows (value-
+            # independent) still get measured; headline stays bf16.
+            calib = [
+                np.random.default_rng(7).random((4, 512, 512, 3)).astype(
+                    np.float32
+                )
+            ]
+            prep_q = to_bf16(q.prepare(params, calib_batches=calib))
+        flush()
 
         @jax.jit
         def infer_q1(x):
@@ -223,7 +270,7 @@ def main():
                 sweep_q[str(bq)] = f"failed: {type(e).__name__}: {e}"
         details["unet512_int8_sweep"] = sweep_q
         details["unet512_int8_images_per_sec"] = round(best_q, 1)
-        if agree >= 0.985:
+        if guard_ok:
             best = max(best, best_q)
             details["unet512_infer_images_per_sec"] = round(best, 1)
     except Exception as e:
