@@ -117,15 +117,14 @@ def main(batch=128, iters=30):
         x.block_until_ready()
         return x, NB
 
-    SC = jnp.full((1, O), 3e-4, jnp.float32)
-    BIAS = jnp.full((1, O), 0.1, jnp.float32)
-    OINV = jnp.float32(31.0)
-
     def epi2(a):
-        return a.astype(jnp.float32) * SC + BIAS
+        sc = jnp.full((1, O), 3e-4, jnp.float32)
+        bias = jnp.full((1, O), 0.1, jnp.float32)
+        return a.astype(jnp.float32) * sc + bias
 
     def fin(v):
-        return jnp.clip(jnp.round(v * OINV), 0.0, 127.0).astype(jnp.int8)
+        return jnp.clip(jnp.round(v * jnp.float32(31.0)), 0.0,
+                        127.0).astype(jnp.int8)
 
     def pool(y):
         m = jnp.maximum(y, pltpu.roll(y, O // 2, 1))

@@ -87,8 +87,12 @@ def int8_conv(x, wq, w_scale, act_scale, b, relu=True, strides=(1, 1),
         mult = (act_scale * w_scale / out_scale).astype(jnp.float32)
         y = yi.astype(jnp.float32) * mult
         y = y + b.astype(jnp.float32) / out_scale
-        lo = 0.0 if relu else -127.0
-        return jnp.clip(jnp.round(y), lo, 127.0).astype(jnp.int8)
+        # relu as max + SYMMETRIC clip: the ±127 bounds let the
+        # round+clip+cast lower to one saturating convert (identical
+        # results — see nn/pallas/conv.py _epilogue_parts)
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        return jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
     y = yi.astype(jnp.float32) * (act_scale * w_scale)
     y = y + b.astype(jnp.float32)
     if relu:
@@ -122,10 +126,10 @@ def int8_std_dual_conv(sk, up, wqa, wsa, sk_scale, wqb, wsb, asb, b,
     ).astype(jnp.float32) * (asb * wsb)
     y = ya.astype(jnp.float32) + yb + b.astype(jnp.float32)
     if out_scale is not None:
-        lo = 0.0 if relu else -127.0
-        return jnp.clip(jnp.round(y / out_scale), lo, 127.0).astype(
-            jnp.int8
-        )
+        yq = y / out_scale
+        if relu:
+            yq = jnp.maximum(yq, 0.0)  # symmetric clip -> saturating cast
+        return jnp.clip(jnp.round(yq), -127.0, 127.0).astype(jnp.int8)
     if relu:
         y = jax.nn.relu(y)
     return y.astype(jnp.bfloat16)

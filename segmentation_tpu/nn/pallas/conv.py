@@ -93,18 +93,25 @@ def _epilogue_parts(acc, bias_ref, relu, out_dtype, chan_scale=None,
     y = acc.astype(jnp.float32)
     if out_inv is not None:
         # requantizing path: fold 1/out_scale into the multiplier and
-        # bias, and fold the relu into the clip's lower bound — one
-        # fused multiply-add + round + clip instead of five passes
+        # bias. The relu runs as an explicit max BEFORE finish so the
+        # clip keeps SYMMETRIC ±127 bounds: Mosaic lowers
+        # clip(round(v), -127, 127) -> s8 to a single saturating
+        # convert, while an asymmetric 0.0 lower bound defeats the
+        # pattern and costs a measured +3.7 ms at the c1_2 site
+        # (benchmarks/pipeline_probe.py; shipped conv2x2_pf2 7.96 ->
+        # 6.31 ms, bit-identical: clip(round(v),0,127) ==
+        # clip(round(max(v,0)),-127,127) since round is monotone).
         oi = out_inv[0, 0]
         if chan_scale is not None:
             y = y * (chan_scale[:] * oi)
         else:
             y = y * oi
         y = y + bias_ref[:].astype(jnp.float32) * oi
-        lo = 0.0 if relu else -127.0
+        if relu:
+            y = jnp.maximum(y, 0.0)
 
         def finish(v):
-            return jnp.clip(jnp.round(v), lo, 127.0).astype(jnp.int8)
+            return jnp.clip(jnp.round(v), -127.0, 127.0).astype(jnp.int8)
 
         return y, finish
     if chan_scale is not None:
