@@ -276,6 +276,7 @@ def cmd_infer(args):
         mean, var, output = trainer.infer_bayesian(
             imgs, args.mc_samples,
             samples_per_pass=args.mc_samples_per_pass,
+            fast=getattr(args, "mc_fast", "auto"),
         )
         outputs = {"mean": mean, "var": var, "mask": output}
     elif args.int8:
@@ -353,6 +354,11 @@ def main(argv=None):
         "--mc-samples-per-pass", type=int, default=1,
         help="MC samples batched per forward pass (must divide "
         "--mc-samples); >1 rides samples on the batch axis",
+    )
+    p_infer.add_argument(
+        "--mc-fast", choices=("auto", "off"), default="auto",
+        help="route U-Net MC-dropout through the packed serving layout "
+        "(same posterior estimator; 'off' forces the standard path)",
     )
     p_infer.set_defaults(fn=cmd_infer)
 

@@ -693,19 +693,29 @@ class SegmentationTrainer(Trainer):
         return [np.asarray(y_hat_sig), np.asarray(output)]
 
     def infer_bayesian(self, imgs: np.ndarray, n_samples: int = 16,
-                       seed: int = 0, samples_per_pass: int = 1):
+                       seed: int = 0, samples_per_pass: int = 1,
+                       fast: str = "auto"):
         """MC-dropout uncertainty: returns (mean, variance, argmax-map).
         ``samples_per_pass > 1`` rides that many MC samples on the batch
         axis per forward (must divide n_samples) — same estimator, fewer
         underutilized dispatches; raise it until activation memory says
         stop (4 measured best for B=2 1024² tiles on one v5e: 15.7 vs
-        14.1 tiles/s serial)."""
+        14.1 tiles/s serial).
+
+        ``fast``: 'auto' routes U-Net-family MC through the packed
+        serving layout (models/unet_fast apply(mc_keys=...), same
+        posterior estimator — masks are iid per activation element);
+        'off' forces the standard hk path."""
         sp = max(1, min(int(samples_per_pass), int(n_samples)))
         if n_samples % sp:
             raise ValueError(
                 f"--mc-samples ({n_samples}) must be divisible by "
                 f"--mc-samples-per-pass ({sp})"
             )
+        if fast != "off":
+            out = self._fast_mc(imgs, int(n_samples), int(seed), sp)
+            if out is not None:
+                return out
         x = jnp.asarray(imgs)
         mean, var, output = self._infer_mc(
             self.state.params,
@@ -714,6 +724,58 @@ class SegmentationTrainer(Trainer):
             x,
             n_samples,
             sp,
+        )
+        return np.asarray(mean), np.asarray(var), np.asarray(output)
+
+    def _fast_mc(self, imgs, n_samples: int, seed: int, sp: int):
+        """Fast-layout MC-dropout (VERDICT r3 #6): UNetS2DInference with
+        explicit dropout keys at the two Kendall&Gal sites. Returns None
+        when the model/geometry doesn't support the packed path (caller
+        falls back to the standard compiled MC loop)."""
+        from segmentation_tpu.models.unet import UNet
+        from segmentation_tpu.models.unet_fast import (
+            UNetS2D,
+            UNetS2DInference,
+        )
+
+        mcfg = self.mcfg
+        h, w = int(imgs.shape[1]), int(imgs.shape[2])
+        if (
+            not mcfg.bayesian
+            or not isinstance(self.model, (UNet, UNetS2D))
+            or not (0.0 < float(mcfg.dropout_rate) < 1.0)
+            or h % 2 or w % 2 or min(h, w) < 192
+        ):
+            return None
+        key = (imgs.shape, n_samples, sp, int(self.state.step))
+        cached = getattr(self, "_mc_fast_cache", None)
+        if cached is None or cached[0] != key:
+            fastm = UNetS2DInference(mcfg)
+            params = jax.device_get(self.state.params)
+            prepared = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16)
+                if jnp.issubdtype(p.dtype, jnp.floating) else p,
+                fastm.prepare(params),
+            )
+
+            def mc(xx, k):
+                from segmentation_tpu.training.bayesian import (
+                    mc_sample_fast,
+                )
+
+                samples = mc_sample_fast(
+                    fastm, prepared, k, xx, n_samples, sp
+                )
+                mean = jnp.mean(samples, axis=0)
+                var = jnp.var(samples, axis=0)
+                out = jnp.argmax(mean, axis=3)[..., None].astype(
+                    jnp.float32
+                )
+                return mean, var, out
+
+            self._mc_fast_cache = (key, jax.jit(mc))
+        mean, var, output = self._mc_fast_cache[1](
+            jnp.asarray(imgs, jnp.bfloat16), jax.random.PRNGKey(seed)
         )
         return np.asarray(mean), np.asarray(var), np.asarray(output)
 

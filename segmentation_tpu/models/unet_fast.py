@@ -685,6 +685,34 @@ def pf_to4(pf: PadFlat):
     return unpad_rows(pf.x, pf.s, pf.h, pf.w)
 
 
+def _mc_drop(h, key, rate: float):
+    """Explicit-key MC-dropout on a plain 4-D tensor or a PadFlat/PF2
+    flat tensor — the fast-serving analog of nn.layers.dropout with
+    ``deterministic=False`` (Kendall & Gal posterior sampling, reference
+    examples/inference.py:31-38). Masks are iid Bernoulli per activation
+    element, so the estimator is identical to the standard path's; masking
+    a flat tensor's junk columns too is harmless (they never re-enter the
+    real geometry)."""
+    if isinstance(h, PadFlat):
+        return PadFlat(_mc_drop(h.x, key, rate), h.h, h.w, h.s)
+    if isinstance(h, PF2):
+        return PF2(_mc_drop(h.x, key, rate), h.h, h.w, h.s2)
+    if rate <= 0.0:
+        return h
+    if h.dtype == jnp.int8:
+        # would need the 1/keep factor folded into the consumer's act
+        # scale; no current config quantizes either MC site (see
+        # models/unet_int8._out_scale_of) — fail loud if one appears
+        raise NotImplementedError(
+            "MC-dropout site landed on an int8-resident tensor"
+        )
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, h.shape)
+    return jnp.where(
+        mask, h * jnp.asarray(1.0 / keep, h.dtype), jnp.zeros((), h.dtype)
+    )
+
+
 def pf_pair(pf: PadFlat, tile: int) -> PadFlat:
     """Column-paired handoff for the next strided entry conv: pair
     (2j, 2j+1) → one 2C row.
@@ -1139,7 +1167,8 @@ class UNetS2DInference:
         s = _pf_stride(w1, t)
         return s % (2 * t) == 0 and 2 * (s - w1) <= 16
 
-    def _apply_padflat(self, p, x, packed_out=False, head=None):
+    def _apply_padflat(self, p, x, packed_out=False, head=None,
+                       mc_keys=None):
         """The apply() topology with the packed region resident in the
         PadFlat layout end-to-end — and level 1 in the paired-column PF2
         layout when the geometry allows (kernel parity:
@@ -1192,6 +1221,8 @@ class UNetS2DInference:
             h = _maxpool2(h)
         h = self._std_conv(p, f"conv{L + 1}_1", h)
         h = self._std_conv(p, f"conv{L + 1}_2", h)
+        if mc_keys is not None:  # bottleneck MC-dropout site
+            h = _mc_drop(h, mc_keys[0], self.cfg.dropout_rate)
 
         # ---- decoder ------------------------------------------------------
         head_mask = None
@@ -1239,6 +1270,11 @@ class UNetS2DInference:
                 h = self._std_dual_conv(p, c1, sk, h)
                 h = self._std_conv(p, c2, h)
 
+        if mc_keys is not None:  # decoder-end MC-dropout site
+            if pf is not None:
+                pf = _mc_drop(pf, mc_keys[1], self.cfg.dropout_rate)
+            else:
+                h = _mc_drop(h, mc_keys[1], self.cfg.dropout_rate)
         if head_mask is not None:
             # head fold: only the uint8 mask leaves the region (pf2
             # unpads back to the same [N, hp, wp, 4] plain mask)
@@ -1324,14 +1360,26 @@ class UNetS2DInference:
         return out
 
     def apply(self, prepared: Dict[str, jnp.ndarray], x: jnp.ndarray,
-              packed_out: bool = False, head=None):
+              packed_out: bool = False, head=None, mc_keys=None):
         """Forward to logits. With packed_out=True (and packed levels active)
         returns the final decoder tensor still packed, FLAT
         [N, hp, wp, 4·C]. With ``head=(wd, bd)`` (requires packed_out),
         the LAST packed decoder conv also emits the fused binary mask and
-        apply returns (h_packed, mask_u8)."""
+        apply returns (h_packed, mask_u8).
+
+        ``mc_keys=(k_bottleneck, k_decoder)``: explicit-key MC-dropout at
+        the two Bayesian sites (reference examples/inference.py:31-38) on
+        the FAST layout — both sites are bf16-resident in every current
+        config (the bottleneck feeds a bf16 deconv; the last decoder conv
+        has no int8 consumer, models/unet_int8._out_scale_of), so the
+        masked multiply needs no scale folding."""
+        if mc_keys is not None and head is not None:
+            raise ValueError("MC-dropout serving needs probabilities; the "
+                             "fused mask head bakes the argmax (pass "
+                             "head=None with mc_keys)")
         if self._pf_supported(prepared, x):
-            return self._apply_padflat(prepared, x, packed_out, head)
+            return self._apply_padflat(prepared, x, packed_out, head,
+                                       mc_keys)
         k = self.cfg.n_kernels
         L, pl_ = self.levels, self.packed_levels
         p = prepared
@@ -1377,7 +1425,9 @@ class UNetS2DInference:
             h = _maxpool2(h)
         h = self._std_conv(p, f"conv{L + 1}_1", h)
         h = self._std_conv(p, f"conv{L + 1}_2", h)
-        if self.dropout_fn is not None:  # bottleneck MC-dropout site
+        if mc_keys is not None:  # bottleneck MC-dropout site
+            h = _mc_drop(h, mc_keys[0], self.cfg.dropout_rate)
+        elif self.dropout_fn is not None:
             h = self.dropout_fn(h)
 
         # ---- decoder -------------------------------------------------------
@@ -1431,7 +1481,9 @@ class UNetS2DInference:
                 h = self._std_dual_conv(p, c1, sk, h)
                 h = self._std_conv(p, c2, h)
 
-        if self.dropout_fn is not None:  # decoder-end MC-dropout site
+        if mc_keys is not None:  # decoder-end MC-dropout site
+            h = _mc_drop(h, mc_keys[1], self.cfg.dropout_rate)
+        elif self.dropout_fn is not None:
             h = self.dropout_fn(h)
         if packed:
             if packed_out:

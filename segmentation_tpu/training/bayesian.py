@@ -55,6 +55,38 @@ def mc_sample(
     return chunks.reshape(len(keys) * sp, n, *chunks.shape[3:])
 
 
+def mc_sample_fast(
+    fast,
+    prepared,
+    rng: jax.Array,
+    x: jnp.ndarray,
+    n_samples: int,
+    samples_per_pass: int = 1,
+) -> jnp.ndarray:
+    """mc_sample over the FAST serving layout (models.unet_fast
+    UNetS2DInference / models.unet_int8 UNetS2DInt8): S stochastic
+    forwards with explicit per-pass dropout keys through
+    ``fast.apply(prepared, x, mc_keys=(k_bottleneck, k_decoder))``.
+    Same batch-axis tiling estimator and serial lax.map chunking as
+    mc_sample (dropout masks are iid per batch element)."""
+    sp = max(1, min(samples_per_pass, n_samples))
+    if n_samples % sp:
+        raise ValueError(f"n_samples={n_samples} not divisible by "
+                         f"samples_per_pass={sp}")
+    keys = jax.random.split(rng, n_samples // sp)
+    n = x.shape[0]
+    xt = jnp.tile(x, (sp,) + (1,) * (x.ndim - 1)) if sp > 1 else x
+
+    def one(k):
+        k1, k2 = jax.random.split(k)
+        logits = fast.apply(prepared, xt, mc_keys=(k1, k2))
+        p = jax.nn.sigmoid(logits.astype(jnp.float32))
+        return p.reshape(sp, n, *p.shape[1:])
+
+    chunks = jax.lax.map(one, keys)  # [S/sp, sp, N, H, W, C]
+    return chunks.reshape(len(keys) * sp, n, *chunks.shape[3:])
+
+
 def predictive_moments(samples: jnp.ndarray):
     """Per-pixel predictive mean / variance over the sample axis."""
     return jnp.mean(samples, axis=0), jnp.var(samples, axis=0)
