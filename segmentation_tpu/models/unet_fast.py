@@ -1097,6 +1097,10 @@ class UNetS2DInference:
             tile_bias4(p[f"{name}/b"]), h=up.h, w_real=up.w, s=up.s,
             s_a=sk.s, hp_a=sk.x.shape[1] // sk.s, relu=relu,
             a_offset=a_offset, a_slot_phase=a_slot_phase,
+            # r=32 beats the _auto_r 16 at the c8_1 site (3.90 vs
+            # 4.10 ms isolated, benchmarks/pf2_rblock.py post
+            # saturating-cast fix); small h keeps the ragged-safe auto
+            r_block=32 if up.h > 64 else None,
         )
         return PadFlat(y, up.h - 1, up.w - 1, up.s)
 

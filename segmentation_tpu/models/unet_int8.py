@@ -834,6 +834,8 @@ class UNetS2DInt8(UNetS2DInference):
             _tile4(p[f"{name}/b"]), h=up.h, w_real=up.w, s=up.s,
             s_a=sk.s, hp_a=sk.x.shape[1] // sk.s, relu=relu,
             a_offset=a_offset, a_slot_phase=a_slot_phase, quant=q,
+            # r=32 wins at c8_1 post saturating-cast fix (pf2_rblock.py)
+            r_block=32 if up.h > 64 else None,
         )
         return PadFlat(y, up.h - 1, up.w - 1, up.s)
 

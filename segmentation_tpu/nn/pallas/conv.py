@@ -174,6 +174,27 @@ def _auto_r(h_out: int, cap: int = 16) -> int:
     return -(-h_out // nb)
 
 
+def _fit_r(r: int, s_io: int, io_bytes: int, acc_bytes: int = 0,
+           aux_bytes: int = 0, budget: int = 15 << 20) -> int:
+    """Clamp a row-block choice to the 16 MB scoped-VMEM ceiling.
+
+    Scoped VMEM for one grid step ≈ double-buffered io blocks
+    (2·r·s_io·io_bytes) + accumulator intermediates (r·s_io·acc_bytes)
+    + per-r aux (A-side row blocks / scratch, r·aux_bytes); the 1 MB
+    headroom under the hardware's 16 MB covers next-row blocks and
+    weight operands. Calibrated on the measured pass/fail frontier
+    (benchmarks/pf2_rblock.py: conv+pool r=32 passes, r=64 OOMs, at
+    512² in both int8 and bf16; the same kernel at 1024² OOMs at r=32
+    with 20.25M observed vs the 16M limit). Halving keeps tuned pins
+    exact at their tuned geometry and degrades gracefully at larger
+    images instead of failing to compile.
+    """
+    while r > 1 and r * (2 * s_io * io_bytes + s_io * acc_bytes
+                         + aux_bytes) > budget:
+        r //= 2
+    return r
+
+
 # --------------------------------------------------------------- conv2x2
 def _stride_for(w_in, quant):
     # int8 tiles are (32, 128): row spacing in the stacked scratch must be

@@ -55,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 from segmentation_tpu.nn.pallas.conv import (
     _auto_r,
     _epilogue,
+    _fit_r,
     _quant_parts,
     _quant_rows,
     _smem_scalar,
@@ -290,14 +291,20 @@ def conv2x2_padflat(x, w, b, *, h: int, w_real: int, s: int,
     assert c % 128 == 0 and o % 128 == 0, (c, o)
     assert head is not None or not head_only
     h_out = h - 1
-    if r_block is None:
-        r_block = _auto_r(h_out)
-    r_block = max(1, min(r_block, h_out))
-    nb = pl.cdiv(h_out, r_block)
-    grid = (n, nb)
     qparts, qspecs, qflags, cdt, out_dtype = _quant_parts(
         w, b, quant, x.dtype
     )
+    ob = jnp.dtype(out_dtype).itemsize
+    io_bytes = (x.dtype.itemsize * c
+                + (0 if head_only else o * ob)
+                + (head[0].shape[-1] if head is not None else 0)
+                + (o // 4) * (1 if qflags[2] else ob) * pool)
+    if r_block is None:
+        r_block = _auto_r(h_out)
+    r_block = _fit_r(max(1, min(r_block, h_out)), s, io_bytes,
+                     acc_bytes=4 * o)
+    nb = pl.cdiv(h_out, r_block)
+    grid = (n, nb)
     assert head is None or not qflags[2], "head needs a float epilogue"
     wt = qparts[0]
     if qflags[0]:
@@ -506,7 +513,17 @@ def conv2x2_dual_padflat(xa, xb, wa, wb, b, *, h: int, w_real: int,
     h_out, w_out = h - 1, w_real - 1
     if r_block is None:
         r_block = _auto_r(h_out)
-    r_block = max(1, min(r_block, h_out))
+    ob = 1 if (quant is not None and quant.get("out_scale") is not None
+               ) else (2 if (quant is not None or xb.dtype == jnp.int8)
+                       else xb.dtype.itemsize)
+    cdt_b = 1 if quant is not None else xb.dtype.itemsize
+    r_block = _fit_r(
+        max(1, min(r_block, h_out)), s,
+        io_bytes=c * xb.dtype.itemsize + o * ob,
+        acc_bytes=4 * o,
+        # A-side row blocks (double-buffered) + the A scratch
+        aux_bytes=2 * s_a * c * xa.dtype.itemsize + s * c * cdt_b,
+    )
     nb = pl.cdiv(h_out, r_block)
     grid = (n, nb)
     if quant is None:
@@ -647,7 +664,16 @@ def conv4x4s2_padflat(x, w4, b, *, h: int, w2_real: int, s2: int,
     h_out = (h - 2) // 2
     w_out = w2_real - 1
     del w_out
-    r_block = max(1, min(r_block, h_out))
+    ob = 1 if (quant is not None and quant.get("out_scale") is not None
+               ) else (2 if (quant is not None or x.dtype == jnp.int8)
+                       else x.dtype.itemsize)
+    cdt_b = 1 if quant is not None else x.dtype.itemsize
+    r_block = _fit_r(
+        max(1, min(r_block, h_out)), s2,
+        io_bytes=2 * c2 * x.dtype.itemsize + o4 * ob,
+        acc_bytes=4 * o4,
+        aux_bytes=s2 * 8 * c * cdt_b,
+    )
     nb = pl.cdiv(h_out, r_block)
     grid = (n, nb)
     wt = w4 if w4.dtype == jnp.int8 else w4.astype(x.dtype)
@@ -873,7 +899,22 @@ def deconv_packed_padflat(x4, wm, b, *, i_in: int, j_in: int, s_i: int,
     assert c4 % 128 == 0 and o4 % 128 == 0, (c4, o4)
     if r_block is None:
         r_block = _auto_r(2 * i_in)
-    r_block = max(2, min(r_block + r_block % 2, 2 * i_in))  # even
+    out_int8 = quant is not None and quant.get("out_scale") is not None
+    ob = 1 if out_int8 else (
+        2 if (quant is not None or x4.dtype == jnp.int8)
+        else x4.dtype.itemsize
+    )
+    s_o_est = s_i if pf2_out else (s_out or stride_for(2 * j_in,
+                                   jnp.int8 if out_int8 else x4.dtype))
+    o_lanes_est = 2 * o4 if pf2_out else o4
+    # in block is r_half rows: halve its per-r contribution
+    r_block = _fit_r(
+        max(2, min(r_block + r_block % 2, 2 * i_in)), s_o_est,
+        io_bytes=o_lanes_est * ob,
+        acc_bytes=4 * o_lanes_est,
+        aux_bytes=s_i * c4 * x4.dtype.itemsize,  # r_half in rows, 2x-buf
+    )
+    r_block = max(2, r_block + r_block % 2)  # even
     r_half = r_block // 2
     nb = pl.cdiv(2 * i_in, r_block)
     grid = (n, nb)
@@ -1113,14 +1154,20 @@ def conv2x2_pf2(x, w, b, *, h: int, w_real: int, s2: int,
     assert c % 128 == 0 and o % 128 == 0, (c, o)
     assert head is not None or not head_only
     h_out = h - 1
-    if r_block is None:
-        r_block = _auto_r(h_out)
-    r_block = max(1, min(r_block, h_out))
-    nb = pl.cdiv(h_out, r_block)
-    grid = (n, nb)
     qparts, qspecs, qflags, cdt, out_dtype = _quant_parts(
         w, b, quant, x.dtype
     )
+    ob = jnp.dtype(out_dtype).itemsize
+    io_bytes = (x.dtype.itemsize * c2
+                + (0 if head_only else 2 * o * ob)
+                + (2 * head[0].shape[-1] if head is not None else 0)
+                + (o // 2) * (1 if qflags[2] else ob) * pool)
+    if r_block is None:
+        r_block = _auto_r(h_out)
+    r_block = _fit_r(max(1, min(r_block, h_out)), s2, io_bytes,
+                     acc_bytes=4 * 2 * o)
+    nb = pl.cdiv(h_out, r_block)
+    grid = (n, nb)
     assert head is None or not qflags[2], "head needs a float epilogue"
     wt = qparts[0]
     if qflags[0]:
@@ -1324,7 +1371,16 @@ def conv2x2_dual_pf2(xa, xb, wa, wb, b, *, h: int, w_real: int, s2: int,
     assert co2 + phase + w2_in <= s2_a, (co2, w2_in, s2_a)
     if r_block is None:
         r_block = _auto_r(h_out)
-    r_block = max(1, min(r_block, h_out))
+    ob = 1 if (quant is not None and quant.get("out_scale") is not None
+               ) else (2 if (quant is not None or xb.dtype == jnp.int8)
+                       else xb.dtype.itemsize)
+    cdt_b = 1 if quant is not None else xb.dtype.itemsize
+    r_block = _fit_r(
+        max(1, min(r_block, h_out)), s2,
+        io_bytes=c2 * xb.dtype.itemsize + 2 * o * ob,
+        acc_bytes=4 * 2 * o,
+        aux_bytes=2 * s2_a * c2 * xa.dtype.itemsize + s2 * c2 * cdt_b,
+    )
     nb = pl.cdiv(h_out, r_block)
     grid = (n, nb)
     if quant is None:
@@ -1581,7 +1637,13 @@ def entry_chain_pf2(xt, we, wh, wl, b1, w2, b2, *, h_img: int,
         # entry's per-row dots amortize over taller blocks — see
         # benchmarks/chain_sweep.py
         r_block = _auto_r(h_out, 32)
-    r_block = max(2, min(r_block, h_out))
+    r_block = _fit_r(
+        max(2, min(r_block, h_out)), g,
+        io_bytes=24 * xt.dtype.itemsize + 2 * o + o // 2,  # int8 outs
+        acc_bytes=4 * 2 * o4 + 4 * 2 * o,  # c1_1 + c1_2 f32 accs
+        aux_bytes=g * 2 * o4,              # int8 c1_1 scratch
+    )
+    r_block = max(2, r_block)
     r_block += r_block % 2     # next-ref block offset needs R even
     nb = pl.cdiv(h_out, r_block)
     grid = (n, nb)
@@ -1661,7 +1723,12 @@ def conv3entry_pf2(xt, we, wh, wl, b, *, h_img: int, relu: bool = True,
         # dots are latency-bound; taller blocks keep the MXU fed) — see
         # benchmarks/dual_entry_anatomy.py
         r_block = _auto_r(h_out, 32)
-    r_block = max(1, min(r_block, h_out))
+    ob = 1 if (quant is not None and "out_scale" in quant) else 2
+    r_block = _fit_r(
+        max(1, min(r_block, h_out)), g,
+        io_bytes=24 * xt.dtype.itemsize + 2 * o4 * ob,
+        acc_bytes=4 * 2 * o4,
+    )
     nb = pl.cdiv(h_out, r_block)
     grid = (n, nb)
     in_int8 = xt.dtype == jnp.int8
