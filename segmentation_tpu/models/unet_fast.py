@@ -1097,10 +1097,11 @@ class UNetS2DInference:
             tile_bias4(p[f"{name}/b"]), h=up.h, w_real=up.w, s=up.s,
             s_a=sk.s, hp_a=sk.x.shape[1] // sk.s, relu=relu,
             a_offset=a_offset, a_slot_phase=a_slot_phase,
-            # r=32 beats the _auto_r 16 at the c8_1 site (3.90 vs
-            # 4.10 ms isolated, benchmarks/pf2_rblock.py post
-            # saturating-cast fix); small h keeps the ragged-safe auto
-            r_block=32 if up.h > 64 else None,
+            # NO r=32 pin here: the int8 path's measured c8_1 win
+            # (unet_int8.py) doubles per-row VMEM at bf16 and blows the
+            # 16MB scoped limit (23.28M observed at compile) — _fit_r's
+            # byte model underestimates the dual's actual footprint by
+            # ~1.4x, so the bf16 site keeps the ragged-safe _auto_r
         )
         return PadFlat(y, up.h - 1, up.w - 1, up.s)
 

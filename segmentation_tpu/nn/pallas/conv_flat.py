@@ -55,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 from segmentation_tpu.nn.pallas.conv import (
     _auto_r,
     _epilogue,
+    _epilogue_parts,
     _fit_r,
     _quant_parts,
     _quant_rows,
@@ -227,18 +228,22 @@ def _conv2x2_padflat_kernel(
             jnp.float32,
         )
 
-    def epi(a):
-        return _epilogue(a, bias, relu, out_dtype, chan_scale, out_inv)
-
-    y_main = epi(acc[: (r_block - 1) * s])
-    y_last = epi(last)
+    # pre-cast epilogue: pool on the f32 value, finish (round/clip/cast)
+    # applied after — monotone, so max∘finish == finish∘max, and the
+    # pool skips the s8→s32 unpack/repack (see _epilogue_parts)
+    yp_main, finish = _epilogue_parts(acc[: (r_block - 1) * s], bias,
+                                      relu, out_dtype, chan_scale,
+                                      out_inv)
+    yp_last, _ = _epilogue_parts(last, bias, relu, out_dtype,
+                                 chan_scale, out_inv)
+    y_main, y_last = finish(yp_main), finish(yp_last)
     oi = 0
     if not head_only:
         _split_store(outs[oi], r_block, s, y_main, y_last)
         oi += 1
     if has_head:
         # fused nc=2 head+argmax: mask = (y @ (w1-w0) + (b1-b0) > 0),
-        # evaluated on the f32 epilogue value (see conv.py's head story)
+        # evaluated on the STORED value (see conv.py's head story)
         def mk_mask(yv):
             hd = jnp.dot(yv.astype(jnp.bfloat16), wd[:],
                          preferred_element_type=jnp.float32)
@@ -248,11 +253,10 @@ def _conv2x2_padflat_kernel(
                      mk_mask(y_last))
         oi += 1
     if pool:
-        pdt = jnp.int8 if out_inv is not None else out_dtype
         _split_store(
             outs[oi], r_block, s,
-            _pool_slots(y_main, out_inv).astype(pdt),
-            _pool_slots(y_last, out_inv).astype(pdt),
+            finish(_pool_slots(yp_main, None)),
+            finish(_pool_slots(yp_last, None)),
         )
 
 
@@ -523,6 +527,10 @@ def conv2x2_dual_padflat(xa, xb, wa, wb, b, *, h: int, w_real: int,
         acc_bytes=4 * o,
         # A-side row blocks (double-buffered) + the A scratch
         aux_bytes=2 * s_a * c * xa.dtype.itemsize + s * c * cdt_b,
+        # the dual's observed scoped usage runs ~1.4x this byte model
+        # (23.28M measured vs ~16.5M modeled at bf16/r=32) — budget
+        # down so the clamp fires before the compiler's 16M wall
+        budget=11 << 20,
     )
     nb = pl.cdiv(h_out, r_block)
     grid = (n, nb)
@@ -1099,12 +1107,20 @@ def _conv2x2_pf2_kernel(r_block, s2, relu, out_dtype, quant, in_int8,
             jnp.float32, c,
         )
 
+    # pre-cast epilogue: store the finished value, pool on the f32
+    # value with the monotone finish applied after (skips the pool's
+    # s8→s32 unpack/repack — see _epilogue_parts)
     def epi(a):
-        return _epilogue(a, bias, relu, out_dtype, chan_scale, out_inv)
+        return _epilogue_parts(a, bias, relu, out_dtype, chan_scale,
+                               out_inv)
 
     cut = (r_block - 1) * s2
-    ye_m, yo_m = epi(acc_e[:cut]), epi(acc_o[:cut])
-    ye_l, yo_l = epi(last_e), epi(last_o)
+    yp_em, finish = epi(acc_e[:cut])
+    yp_om, _ = epi(acc_o[:cut])
+    yp_el, _ = epi(last_e)
+    yp_ol, _ = epi(last_o)
+    ye_m, yo_m = finish(yp_em), finish(yp_om)
+    ye_l, yo_l = finish(yp_el), finish(yp_ol)
     oi = 0
     if not head_only:
         _store_pf2(outs[oi], r_block, s2, o, ye_m, yo_m, ye_l, yo_l)
@@ -1120,13 +1136,12 @@ def _conv2x2_pf2_kernel(r_block, s2, relu, out_dtype, quant, in_int8,
                    mk_mask(ye_l), mk_mask(yo_l))
         oi += 1
     if pool:
-        pdt = jnp.int8 if out_inv is not None else out_dtype
         _store_pf2(
             outs[oi], r_block, s2, o // 4,
-            _pool_slots(ye_m, out_inv).astype(pdt),
-            _pool_slots(yo_m, out_inv).astype(pdt),
-            _pool_slots(ye_l, out_inv).astype(pdt),
-            _pool_slots(yo_l, out_inv).astype(pdt),
+            finish(_pool_slots(yp_em, None)),
+            finish(_pool_slots(yp_om, None)),
+            finish(_pool_slots(yp_el, None)),
+            finish(_pool_slots(yp_ol, None)),
         )
 
 
@@ -1585,20 +1600,25 @@ def _entry_chain_kernel(r_block, g, o4, *refs):
         xm, xn, ws2, g, r_block, o4
     )
 
+    # pre-cast epilogue: pool on the f32 requant-unit value, monotone
+    # finish after — skips the pool's s8→s32 unpack (_epilogue_parts)
     def epi(a):
-        return _epilogue(a, b2, True, jnp.int8, cs2, oi2)
+        return _epilogue_parts(a, b2, True, jnp.int8, cs2, oi2)
 
     o = ws2.shape[-1]
     cut = (r_block - 1) * g
-    ye_m, yo_m = epi(acc_e[:cut]), epi(acc_o[:cut])
-    ye_l, yo_l = epi(last_e), epi(last_o)
-    _store_pf2(out2, r_block, g, o, ye_m, yo_m, ye_l, yo_l)
+    yp_em, finish = epi(acc_e[:cut])
+    yp_om, _ = epi(acc_o[:cut])
+    yp_el, _ = epi(last_e)
+    yp_ol, _ = epi(last_o)
+    _store_pf2(out2, r_block, g, o, finish(yp_em), finish(yp_om),
+               finish(yp_el), finish(yp_ol))
     _store_pf2(
         pout, r_block, g, o // 4,
-        _pool_slots(ye_m, oi2).astype(jnp.int8),
-        _pool_slots(yo_m, oi2).astype(jnp.int8),
-        _pool_slots(ye_l, oi2).astype(jnp.int8),
-        _pool_slots(yo_l, oi2).astype(jnp.int8),
+        finish(_pool_slots(yp_em, None)),
+        finish(_pool_slots(yp_om, None)),
+        finish(_pool_slots(yp_el, None)),
+        finish(_pool_slots(yp_ol, None)),
     )
 
 
