@@ -791,8 +791,14 @@ class UNetS2DInference:
     # (which enables the inference-only fusions that carry no VJP).
     pallas_vjp: bool = False
 
+    # How many encoder/decoder levels ride the packed Pallas region
+    # (the rest take the std XLA path). None = the measured default.
+    pack_levels: "object" = None
+
     @property
     def packed_levels(self) -> int:
+        if self.pack_levels is not None:
+            return min(int(self.pack_levels), self.levels)
         return min(2, self.levels)
 
     # ---- conv-site hooks (overridden by quantized subclasses) ------------
