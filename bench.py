@@ -151,7 +151,12 @@ def main():
     details["unet512_infer_images_per_sec"] = round(best, 1)
     flush()
 
-    # serving latency: single small batch per dispatch (B=8)
+    # serving latency: single small batch per dispatch (B=8). The
+    # host-observed number includes this environment's ~30 ms tunnel
+    # dispatch round-trip (no kernel work can remove it), so the
+    # DEVICE per-step latency — a serial K-step scan, each step a full
+    # apply_argmax — is recorded alongside; that is the true
+    # single-request serving latency (benchmarks/latency_b8.py).
     try:
         @jax.jit
         def infer_one(x):
@@ -166,8 +171,40 @@ def main():
         lat = min(
             _measure_once(lambda: float(infer_one(x8))) for _ in range(5)
         )
-        x8.delete()
         details["unet512_infer_latency_ms_b8"] = round(lat * 1e3, 1)
+
+        @jax.jit
+        def _null(z):
+            return z + 1.0
+
+        float(_null(jnp.float32(0)))
+        null = min(
+            _measure_once(lambda: float(_null(jnp.float32(0))))
+            for _ in range(5)
+        )
+
+        @jax.jit
+        def infer_scan(xx):
+            def body(carry, _):
+                c, a = carry
+                a = jax.lax.optimization_barrier(a)
+                m = fast.apply_argmax(prepared, a)
+                c = c + m.ravel()[0].astype(jnp.float32) * 1e-30
+                return (c, a), None
+
+            (c, _), _ = jax.lax.scan(
+                body, (jnp.float32(0.0), xx), None, length=20)
+            return c
+
+        float(infer_scan(x8))
+        dev = min(
+            _measure_once(lambda: float(infer_scan(x8)))
+            for _ in range(3)
+        )
+        x8.delete()
+        details["unet512_infer_latency_ms_b8_device"] = round(
+            max(dev - null, 1e-9) / 20 * 1e3, 2)
+        details["unet512_dispatch_null_ms"] = round(null * 1e3, 1)
     except Exception as e:
         details["unet512_infer_latency_ms_b8"] = f"failed: {e}"
     flush()
@@ -260,8 +297,12 @@ def main():
         best_q = 0.0
         sweep_q = {}
         # B=512 measured standalone: 2,208 img/s vs 2,160 @256 (compiles
-        # clean; input 805 MB, freed per entry via x.delete()).
-        for bq in (128, 256, 512):
+        # clean; input 805 MB, freed per entry via x.delete()). Small
+        # batches added in r4: the serial-scan probe measured B=32 at
+        # 2,999 img/s device-side vs 2,845 at B=128 (activation
+        # residency; benchmarks/latency_b8.py) — give the dispatch-
+        # amortized methodology the same range.
+        for bq in (32, 64, 128, 256, 512):
             try:
                 ips = queued_throughput(infer_q1, bq, 1)
                 best_q = max(best_q, ips)
@@ -451,9 +492,8 @@ def main():
         # samples_per_pass=1 is the serial-map formulation; sp=4 rides 4
         # MC samples on the batch axis per forward (iid-identical —
         # dropout masks are per batch element; see training/bayesian.py).
-        # Measured sweep sp=1/2/4/8: 14.1/12.3/15.7/15.1 tiles/s.
         for sp, key in ((1, "bayesian_mc8_1024_tiles_per_sec_serial"),
-                        (4, "bayesian_mc8_1024_tiles_per_sec")):
+                        (4, "bayesian_mc8_1024_tiles_per_sec_hk")):
             try:
                 mc = make_mc(sp)
                 float(mc(xb, jax.random.PRNGKey(4)))
@@ -464,6 +504,42 @@ def main():
             except Exception as e:
                 details[key] = f"failed: {e}"
             flush()
+
+        # fast-layout MC (the shipped infer_bayesian route since r4):
+        # explicit per-pass dropout keys through the packed serving
+        # graph (models/unet_fast.py mc_keys; training/bayesian.py
+        # mc_sample_fast). Statistical parity locked in
+        # tests/test_mc_fast.py; bench keeps the hk row above so the
+        # layout win stays visible.
+        try:
+            from segmentation_tpu.models.unet_fast import (
+                UNetS2DInference,
+            )
+            from segmentation_tpu.training.bayesian import (
+                mc_sample_fast,
+            )
+
+            bfast = UNetS2DInference(bcfg)
+            bprep = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16)
+                if jnp.issubdtype(p.dtype, jnp.floating) else p,
+                bfast.prepare(jax.device_get(bparams)),
+            )
+
+            @jax.jit
+            def mcf(x, rng):
+                s = mc_sample_fast(bfast, bprep, rng, x, S, 4)
+                return jnp.mean(s, 0).sum() + jnp.var(s, 0).sum()
+
+            float(mcf(xb, jax.random.PRNGKey(4)))
+            t0 = time.perf_counter()
+            float(mcf(xb, jax.random.PRNGKey(5)))
+            dt = time.perf_counter() - t0
+            details["bayesian_mc8_1024_tiles_per_sec"] = round(
+                Bmc / dt, 2)
+        except Exception as e:
+            details["bayesian_mc8_1024_tiles_per_sec"] = f"failed: {e}"
+        flush()
         xb.delete()
     except Exception as e:
         details["bayesian_mc8_1024_tiles_per_sec"] = f"failed: {e}"

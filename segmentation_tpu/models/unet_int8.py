@@ -754,6 +754,11 @@ class UNetS2DInt8(UNetS2DInference):
         y, pooled = cf.conv2x2_padflat(
             pf.x, p[f"{name}/wq"], _tile4(p[f"{name}/b"]),
             h=pf.h, w_real=pf.w, s=pf.s, relu=relu, pool=True, quant=q,
+            # post-cast-fix sweep at the c2_2 site (126² C=256 int8):
+            # r=32 3.255 / r=64 3.164 vs auto-16 3.393 ms; r=32 stays
+            # inside the _fit_r byte model, r=64 would be clamped
+            # (benchmarks/pf2_rblock.py)
+            r_block=32 if pf.h > 64 else None,
         )
         return (PadFlat(y, pf.h - 1, pf.w - 1, pf.s),
                 PadFlat(pooled, pf.h - 1, pf.w - 1, pf.s))
