@@ -537,8 +537,16 @@ def main():
             dt = time.perf_counter() - t0
             details["bayesian_mc8_1024_tiles_per_sec"] = round(
                 Bmc / dt, 2)
+            details["bayesian_mc8_1024_route"] = "fast"
         except Exception as e:
-            details["bayesian_mc8_1024_tiles_per_sec"] = f"failed: {e}"
+            # Headline falls back to the measured hk route so a fast-
+            # layout compile regression degrades the number instead of
+            # zeroing it; the route row keeps the failure visible.
+            hk_rate = details.get("bayesian_mc8_1024_tiles_per_sec_hk")
+            details["bayesian_mc8_1024_route"] = (
+                f"hk-fallback (fast failed: {str(e)[:160]})")
+            details["bayesian_mc8_1024_tiles_per_sec"] = (
+                hk_rate if isinstance(hk_rate, float) else f"failed: {e}")
         flush()
         xb.delete()
     except Exception as e:

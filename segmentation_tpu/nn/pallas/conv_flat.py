@@ -305,8 +305,17 @@ def conv2x2_padflat(x, w, b, *, h: int, w_real: int, s: int,
                 + (o // 4) * (1 if qflags[2] else ob) * pool)
     if r_block is None:
         r_block = _auto_r(h_out)
+    # Float-epilogue pool kernels hold f32 pre-cast intermediates on the
+    # Mosaic stack beyond the accumulator (the finish value the pool
+    # reads, plus the pooled f32 lanes — pre-cast pooling, ef8362f):
+    # measured 23.58M actual vs 13.00M modeled at r=16/s=256/o=256
+    # (1024² bf16 MC compile failure) while the int8 epilogue's
+    # requant+saturating cast fuses and stays within the old model
+    # (c2_2 r=32 at 512² compiles and is the tuned win). Price two f32
+    # row copies + the f32 pooled lanes on the float path only.
+    epi_bytes = (8 * o + o) if (pool and not qflags[2]) else 0
     r_block = _fit_r(max(1, min(r_block, h_out)), s, io_bytes,
-                     acc_bytes=4 * o)
+                     acc_bytes=4 * o + epi_bytes)
     nb = pl.cdiv(h_out, r_block)
     grid = (n, nb)
     assert head is None or not qflags[2], "head needs a float epilogue"
@@ -1179,8 +1188,14 @@ def conv2x2_pf2(x, w, b, *, h: int, w_real: int, s2: int,
                 + (o // 2) * (1 if qflags[2] else ob) * pool)
     if r_block is None:
         r_block = _auto_r(h_out)
+    # f32 pre-cast pool-epilogue intermediates on the float path (two
+    # f32 copies of the 2·o pair outputs + f32 pooled lanes) — same
+    # measured under-pricing as conv2x2_padflat's; the int8 requant
+    # epilogue fuses and keeps the old model (its r=32 c2_2 pin is the
+    # tuned, compile-verified win — unet_int8.py).
+    epi_bytes = (8 * 2 * o + 2 * o) if (pool and not qflags[2]) else 0
     r_block = _fit_r(max(1, min(r_block, h_out)), s2, io_bytes,
-                     acc_bytes=4 * 2 * o)
+                     acc_bytes=4 * 2 * o + epi_bytes)
     nb = pl.cdiv(h_out, r_block)
     grid = (n, nb)
     assert head is None or not qflags[2], "head needs a float epilogue"
