@@ -1,9 +1,22 @@
 """Categorized device-time attribution for the s2d U-Net train step.
 
-Buckets every XLA op event from a 3-step trace into forward/backward
-categories (fwd convs, input-grad convs, weight-grad convs, pool fwd/bwd,
-remat recompute, optimizer, layout copies) so train-perf work targets the
-right ops. Complements profile_s2d_train.py (raw top-30 list).
+Buckets every XLA op event from a 3-step trace into HONEST categories by
+cross-referencing the compiled HLO text, not the fusion *names*: on TPU a
+`broadcast_maximum_fusion` can be a kOutput fusion whose called computation
+contains the whole conv+bias+relu (backend_config carries the convolution
+emitter), so name-based bucketing mislabels the largest convs as "relu".
+(That mislabel cost round 4 a falsified optimization: the "33.9 ms of
+standalone relu passes" were the forward convs themselves — see
+nn/layers.py relu_out.)
+
+Categories come from each fusion's called computation(s):
+  - contains a convolution op -> fwd conv / dgrad conv / wgrad conv,
+    split by the conv's op_name (transpose(jvp()) == backward) and
+    kernel-shaped output (== wgrad); "(remat)" suffix if XLA HLO remat
+    re-executes it.
+  - reduce-window / compare_select -> pool
+  - copy/transpose/bitcast-only -> layout copy
+  - root metadata from losses.py / optax -> loss / optimizer
 
 Usage: python benchmarks/profile_train_cats.py [batch] [steps]
 """
@@ -24,30 +37,96 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 
-def categorize(name: str, long_name: str) -> str:
-    ln = long_name or ""
-    if re.match(r"^\d+$", name):
-        return "_module"  # whole-step module event (skip from op sum)
-    remat = ".remat" in name
-    # weight-grad convs produce f32[k,k,Ci,Co] (kernel-shaped) outputs
-    m = re.match(r"\s*%\S+ = \(?(\w+)\[([\d,]*)\]", ln)
-    shape = m.group(2) if m else ""
-    dims = [int(d) for d in shape.split(",") if d] if shape else []
-    if "convolution" in name or "convolution" in ln.split("fusion(")[0]:
-        if len(dims) == 4 and dims[0] <= 4 and dims[1] <= 4:
-            return "wgrad conv"
-        return ("fwd conv (remat)" if remat else "conv (fwd or dgrad)")
-    if "compare_select" in name:
-        return "pool fwd (argmax)"
-    if "slice_maximum" in name or "broadcast_maximum" in name:
-        return ("relu/max recompute (remat)" if remat else "relu/max fwd")
-    if "copy" in name or "transpose" in name or "bitcast" in name:
-        return "layout copy"
-    if "all-reduce" in name or "reduce" in name:
-        return "reduce"
-    if remat:
-        return "other remat"
-    return "other fusion"
+def parse_hlo(text):
+    """name -> (def_line, parent_comp); comp -> [lines]."""
+    comps = {}
+    defs = {}
+    comp = None
+    for line in text.splitlines():
+        m = re.match(r"^(%[\w.\-]+)?\s*(ENTRY\s+)?(%[\w.\-]+)?\s*\(", line)
+        if line and not line[0].isspace() and ("{" in line):
+            cm = re.match(r"^(?:ENTRY )?%([\w.\-]+)", line)
+            comp = cm.group(1) if cm else None
+            if comp is not None:
+                comps[comp] = []
+            continue
+        if comp is None:
+            continue
+        comps[comp].append(line)
+        im = re.match(r"\s+(?:ROOT )?%([\w.\-]+) = ", line)
+        if im:
+            defs.setdefault(im.group(1), (line, comp))
+    return defs, comps
+
+
+_KSHAPE = re.compile(r"= \(?\w+\[(\d+),(\d+),[\d,]*\]")
+
+
+def _conv_kind(conv_line):
+    op = ""
+    m = re.search(r'op_name="([^"]*)"', conv_line)
+    if m:
+        op = m.group(1)
+    sm = _KSHAPE.search(conv_line)
+    kernel_shaped = bool(sm and int(sm.group(1)) <= 4 and int(sm.group(2)) <= 4)
+    if "transpose(" in op:
+        return "wgrad conv" if kernel_shaped else "dgrad conv"
+    # wgrad convs can lose the transpose() marker when re-associated;
+    # kernel-shaped output is the robust signature
+    if kernel_shaped and "f01b" in conv_line:
+        return "wgrad conv"
+    return "fwd conv"
+
+
+def build_categories(hlo_text):
+    defs, comps = parse_hlo(hlo_text)
+
+    def body_lines(name, depth=0):
+        """All instruction lines reachable from instruction `name` via
+        calls= (fusions nest: kOutput fusions call computations that
+        contain further kLoop fusion instructions)."""
+        out = []
+        d = defs.get(name)
+        if not d or depth > 3:
+            return out
+        line = d[0]
+        out.append(line)
+        for cm in re.finditer(r"calls=%([\w.\-]+)", line):
+            for sub in comps.get(cm.group(1), ()):
+                out.append(sub)
+                im = re.match(r"\s+(?:ROOT )?%([\w.\-]+) = .*fusion\(", sub)
+                if im:
+                    out.extend(body_lines(im.group(1), depth + 1))
+        return out
+
+    cat = {}
+    for name, (line, _comp) in defs.items():
+        lines = body_lines(name)
+        convs = [l for l in lines if re.search(r" convolution\(", l)]
+        remat = ".remat" in name
+        if convs:
+            # biggest conv decides (a fusion can contain an input-fused
+            # elementwise recompute AND the conv)
+            kinds = collections.Counter(_conv_kind(c) for c in convs)
+            kind = kinds.most_common(1)[0][0]
+            cat[name] = kind + (" (remat)" if remat else "")
+            continue
+        blob = "\n".join(lines)
+        if "reduce-window" in blob or "compare_select" in name or (
+            "select-and-scatter" in blob
+        ):
+            cat[name] = "pool" + (" (remat)" if remat else "")
+        elif re.fullmatch(r"(copy|transpose|bitcast)[\w.\-]*", name):
+            cat[name] = "layout copy"
+        elif "/losses.py" in blob or "xentropy" in blob:
+            cat[name] = "loss"
+        elif "optax" in blob or "/_src/transform" in blob:
+            cat[name] = "optimizer"
+        elif remat:
+            cat[name] = "other remat"
+        else:
+            cat[name] = "other fusion"
+    return cat
 
 
 def main(batch=128, steps=3):
@@ -94,15 +173,17 @@ def main(batch=128, steps=3):
     x.block_until_ready()
 
     print("compiling...", flush=True)
-    params, st, opt_state, l = step(params, st, opt_state, x, y)
+    compiled = step.lower(params, st, opt_state, x, y).compile()
+    hlo_cat = build_categories(compiled.as_text())
+    params, st, opt_state, l = compiled(params, st, opt_state, x, y)
     float(l)
-    params, st, opt_state, l = step(params, st, opt_state, x, y)
+    params, st, opt_state, l = compiled(params, st, opt_state, x, y)
     float(l)
 
     trace_dir = tempfile.mkdtemp(prefix="s2d_cats_")
     jax.profiler.start_trace(trace_dir)
     for _ in range(steps):
-        params, st, opt_state, l = step(params, st, opt_state, x, y)
+        params, st, opt_state, l = compiled(params, st, opt_state, x, y)
     float(l)
     jax.profiler.stop_trace()
 
@@ -131,22 +212,29 @@ def main(batch=128, steps=3):
 
     cats = collections.Counter()
     members = collections.defaultdict(list)
+    module_us = 0
     for name, dur in agg.items():
-        c = categorize(name, ln_of(name))
+        if re.fullmatch(r"\d+", name):
+            module_us += dur  # whole-step module event
+            continue
+        c = hlo_cat.get(name)
+        if c is None:
+            # trace-only names (infeed, host events)
+            c = "layout copy" if re.match(
+                r"(copy|transpose|bitcast)", name
+            ) else "uncategorized"
         cats[c] += dur
         members[c].append((dur, name))
 
-    step_ms = cats.pop("_module", 0) / steps / 1e3  # avg module evt, ms
+    step_ms = module_us / steps / 1e3
     op_total = sum(cats.values())
     print(f"\nstep (module event) = {step_ms:.1f} ms ... "
           f"op-sum = {op_total / steps / 1e3:.1f} ms/step "
           f"(batch {batch}) -> "
-          f"{batch * 1e3 / step_ms if step_ms else 0:.0f} img/s (module) / "
-          f"{batch * steps * 1e6 / op_total:.0f} img/s (op-sum, overstates "
-          f"when ops overlap poorly)")
+          f"{batch * 1e3 / step_ms if step_ms else 0:.0f} img/s (module)")
     for c, dur in cats.most_common():
         print(f"{dur / steps / 1e3:8.2f} ms  {100 * dur / op_total:5.1f}%  {c}")
-        for d, n in sorted(members[c], reverse=True)[:6]:
+        for d, n in sorted(members[c], reverse=True)[:8]:
             ln = ln_of(n)
             m = re.search(r"= \(?(\S+?\])", ln)
             shp = m.group(1) if m else ""

@@ -44,6 +44,7 @@ import numpy as np
 from jax import lax
 
 from segmentation_tpu.core.config import ModelConfig
+from segmentation_tpu.nn.layers import relu_out as _relu
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
@@ -216,7 +217,7 @@ def packed_conv3(xp, w2, b, relu=True):
     )
     y = _reshape(y, (n, hp - 1, wp - 1, 4, o4 // 4))
     y = y + b.astype(y.dtype)
-    return jax.nn.relu(y) if relu else y
+    return _relu(y) if relu else y
 
 
 def _conv_batch_sharded(x, w, strides):
@@ -246,7 +247,7 @@ def strided_packed_conv3(x, w4, b, relu=True):
     y = _conv_batch_sharded(x, w4.astype(x.dtype), (2, 2))
     y = _reshape(y, (n, y.shape[1], y.shape[2], 4, o4 // 4))
     y = y + b.astype(y.dtype)
-    return jax.nn.relu(y) if relu else y
+    return _relu(y) if relu else y
 
 
 def packed_pool(xp):
@@ -284,7 +285,7 @@ def deconv2_as_matmul(x, wm, b, o, relu=True):
     output: wm is the [C, 4O] rearrangement of the [2,2,C,O] kernel."""
     y = jnp.einsum("nijc,ck->nijk", x, wm.astype(x.dtype))
     y = y.reshape(*y.shape[:3], 4, o) + b.astype(y.dtype)
-    return jax.nn.relu(y) if relu else y
+    return _relu(y) if relu else y
 
 
 def deconv2_packed_in(xp, wm, b, o, relu=True):
@@ -299,7 +300,7 @@ def deconv2_packed_in(xp, wm, b, o, relu=True):
     y = y.transpose(0, 1, 3, 2, 4, 5, 6, 7)   # n, i, a, j, b, d, e, o
     y = _reshape(y, (n, 2 * i, 2 * j, 4, o))
     y = y + b.astype(y.dtype)
-    return jax.nn.relu(y) if relu else y
+    return _relu(y) if relu else y
 
 
 def packed_center_crop(skip_p, target_hw, off):
@@ -381,7 +382,7 @@ def packed_conv3_flat(x4, w2, b, relu=True, pallas=True, head=None):
         return conv2x2_flat(x4, w2, tile_bias4(b), relu=relu, head=head)
     y = _conv_batch_sharded(x4, w2.astype(x4.dtype), (1, 1))
     y = y + tile_bias4(b).astype(y.dtype)
-    y = jax.nn.relu(y) if relu else y
+    y = _relu(y) if relu else y
     if head is not None:
         return y, head_mask_xla(y, *head)
     return y
@@ -403,7 +404,7 @@ def packed_conv3_dual_flat(a4, u4, w2a, w2b, b, relu=True, pallas=True):
     ya = _conv_batch_sharded(a4, w2a.astype(a4.dtype), (1, 1))
     yb = _conv_batch_sharded(u4, w2b.astype(u4.dtype), (1, 1))
     y = ya + yb + tile_bias4(b).astype(ya.dtype)
-    return jax.nn.relu(y) if relu else y
+    return _relu(y) if relu else y
 
 
 def _pallas_backend_ok() -> bool:
@@ -447,7 +448,7 @@ def strided_packed_conv3_flat(x, w4, b, relu=True, pallas=True,
         x = _reshape(x, (n, h, 2 * w2, c2 // 2))
     y = _conv_batch_sharded(x, w4.astype(x.dtype), (2, 2))
     y = y + tile_bias4(b).astype(y.dtype)
-    return jax.nn.relu(y) if relu else y
+    return _relu(y) if relu else y
 
 
 def packed_pool_flat(x4, c, slices=True):
@@ -536,7 +537,7 @@ def deconv2_as_matmul_flat(x, wm, b, o, relu=True, pallas=True):
         return matmul_rows_flat(x, wm, tile_bias4(b), relu=relu)
     y = jnp.einsum("nijc,ck->nijk", x, wm.astype(x.dtype))
     y = y + tile_bias4(b).astype(y.dtype)
-    return jax.nn.relu(y) if relu else y
+    return _relu(y) if relu else y
 
 
 def deconv2_packed_in_flat(x4, wm, b, o, relu=True, pallas=True):
@@ -561,7 +562,7 @@ def deconv2_packed_in_flat(x4, wm, b, o, relu=True, pallas=True):
     y = y.transpose(0, 1, 3, 2, 4, 5, 6, 7)   # n, i, a, j, b, d, e, o
     y = _reshape(y, (n, 2 * i, 2 * j, 4 * o))
     y = y + tile_bias4(b).astype(y.dtype)
-    return jax.nn.relu(y) if relu else y
+    return _relu(y) if relu else y
 
 
 def packed_center_crop_flat(x4, c, target_hw, off):
@@ -930,7 +931,7 @@ class UNetS2DInference:
     def _std_conv(self, p, name, h, relu=True):
         y = _conv_batch_sharded(h, p[f"{name}/w"].astype(h.dtype), (1, 1))
         y = y + p[f"{name}/b"].astype(y.dtype)
-        return jax.nn.relu(y) if relu else y
+        return _relu(y) if relu else y
 
     def _std_dual_conv(self, p, name, sk, up, relu=True):
         """Decoder std conv over the (cropped-skip, upsampled) pair.
@@ -1004,7 +1005,7 @@ class UNetS2DInference:
             [(0, 0), (0, pw)], dimension_numbers=_DN,
         )
         y = y + tile_bias4(p[f"{name}/b"]).astype(y.dtype)
-        return jax.nn.relu(y), w_out
+        return _relu(y), w_out
 
     def _pf_entry_fused(self, p, name, x):
         """One-kernel pf2 entry (3×3 conv + s2d fold fused, bf16): no
@@ -1272,7 +1273,7 @@ class UNetS2DInference:
                     (2, 2), "VALID", dimension_numbers=_DN,
                     transpose_kernel=True,
                 )
-                h = jax.nn.relu(h + p[f"{up}/b"].astype(h.dtype))
+                h = _relu(h + p[f"{up}/b"].astype(h.dtype))
                 sk = skips[lvl]
                 dh = sk.shape[1] - h.shape[1]
                 dw = sk.shape[2] - h.shape[2]
@@ -1483,7 +1484,7 @@ class UNetS2DInference:
                     (2, 2), "VALID", dimension_numbers=_DN,
                     transpose_kernel=True,
                 )
-                h = jax.nn.relu(h + p[f"{up}/b"].astype(h.dtype))
+                h = _relu(h + p[f"{up}/b"].astype(h.dtype))
                 sk = skip
                 dh = sk.shape[1] - h.shape[1]
                 dw = sk.shape[2] - h.shape[2]

@@ -40,6 +40,45 @@ def relu(x):
     return jax.nn.relu(x)
 
 
+@jax.custom_vjp
+def relu_out(x):
+    """ReLU whose VJP residual is the OUTPUT instead of the input.
+
+    Standard ``jax.nn.relu`` saves its *pre-activation* for the backward
+    mask; saving the *post-activation* instead is gradient-identical —
+    ``y > 0`` and ``x > 0`` select the same elements because
+    ``y = max(x, 0)`` is 0 exactly when ``x <= 0`` — and in principle
+    frees the pre-activation (the residual becomes the next layer's
+    input, which is live anyway), halving the relu-residual footprint.
+
+    MEASURED (512²/B=128 v5e train step, benchmarks/profile_train_cats):
+    this does NOT change the compiled program's speed — 305.4 ms/step
+    before and after, with byte-identical fusion structure (the
+    standalone ``broadcast_maximum`` bias+relu passes remain). XLA:TPU's
+    decision not to fold the relu into the conv fusion is a backend
+    fusion-rule/layout artifact, not a consequence of which tensor
+    autodiff saves. Kept because the output-residual form is never
+    worse and documents the falsified hypothesis.
+
+    Forward is bit-identical to ``jax.nn.relu``; gradients differ from
+    the stock VJP only on the measure-zero set ``x == 0`` (stock relu's
+    subgradient there is also 0, so in fact they agree everywhere).
+    """
+    return jnp.maximum(x, 0)
+
+
+def _relu_out_fwd(x):
+    y = jnp.maximum(x, 0)
+    return y, y
+
+
+def _relu_out_bwd(y, g):
+    return (jnp.where(y > 0, g, jnp.zeros_like(g)),)
+
+
+relu_out.defvjp(_relu_out_fwd, _relu_out_bwd)
+
+
 def lrelu(x, alpha: float = 0.2):
     """Leaky ReLU (reference models/gan.py:388-391)."""
     return jnp.maximum(alpha * x, x)
