@@ -100,9 +100,22 @@ def build_categories(hlo_text):
         return out
 
     cat = {}
+    conv_sig = {}
     for name, (line, _comp) in defs.items():
         lines = body_lines(name)
         convs = [l for l in lines if re.search(r" convolution\(", l)]
+        if convs:
+            sigs = []
+            for c in convs:
+                m = re.match(r"\s+(?:ROOT )?%[\w.\-]+ = (\S+?)\s+convolution\(", c)
+                out_shp = m.group(1) if m else "?"
+                dl = re.search(r"dim_labels=(\S+?)(?:,|})", c)
+                win = re.search(r"window=\{([^}]*)\}", c)
+                sigs.append(
+                    f"{out_shp} {dl.group(1) if dl else ''}"
+                    f" [{win.group(1) if win else ''}]"
+                )
+            conv_sig[name] = "; ".join(sigs)
         remat = ".remat" in name
         if convs:
             # biggest conv decides (a fusion can contain an input-fused
@@ -126,7 +139,7 @@ def build_categories(hlo_text):
             cat[name] = "other remat"
         else:
             cat[name] = "other fusion"
-    return cat
+    return cat, conv_sig
 
 
 def main(batch=128, steps=3):
@@ -174,7 +187,7 @@ def main(batch=128, steps=3):
 
     print("compiling...", flush=True)
     compiled = step.lower(params, st, opt_state, x, y).compile()
-    hlo_cat = build_categories(compiled.as_text())
+    hlo_cat, conv_sig = build_categories(compiled.as_text())
     params, st, opt_state, l = compiled(params, st, opt_state, x, y)
     float(l)
     params, st, opt_state, l = compiled(params, st, opt_state, x, y)
@@ -235,10 +248,12 @@ def main(batch=128, steps=3):
     for c, dur in cats.most_common():
         print(f"{dur / steps / 1e3:8.2f} ms  {100 * dur / op_total:5.1f}%  {c}")
         for d, n in sorted(members[c], reverse=True)[:8]:
-            ln = ln_of(n)
-            m = re.search(r"= \(?(\S+?\])", ln)
-            shp = m.group(1) if m else ""
-            print(f"      {d / steps / 1e3:7.2f} ms  {n}  {shp}")
+            sig = conv_sig.get(n)
+            if sig is None:
+                ln = ln_of(n)
+                m = re.search(r"= \(?(\S+?\])", ln)
+                sig = m.group(1) if m else ""
+            print(f"      {d / steps / 1e3:7.2f} ms  {n}  {sig}")
 
 
 if __name__ == "__main__":
