@@ -117,7 +117,14 @@ class GeneratorDataSet:
     (reference utils/threaded_dataset.py 'Generator'). ``gen_fn(worker_id)``
     must return an iterator of batch dicts; ``threads`` workers run it
     concurrently; ``capacity`` bounds the buffer (the FIFOQueue size-poll
-    backpressure at reference utils/threaded_dataset.py:137-142)."""
+    backpressure at reference utils/threaded_dataset.py:137-142).
+
+    Conscious omission: the reference's ``M0M1`` paired-dataset wrapper
+    (utils/threaded_dataset.py:28-49) has no named equivalent here. It is
+    vestigial upstream — it imports a missing ``image_utils`` module
+    (utils/threaded_dataset.py:8-9) so it cannot run — and its mechanism
+    (two coupled streams through one feeder) is subsumed by passing a
+    ``gen_fn`` that yields dicts with both modalities as keys."""
 
     has_masks = False
     use_feed = False

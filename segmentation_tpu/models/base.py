@@ -680,6 +680,16 @@ class SegmentationTrainer(Trainer):
                 1, self.mcfg.n_classes - 1
             ),
         )
+        # Ground-truth mask panel. The reference DECLARES a y panel but
+        # comments it out of the merged summary (models/basemodel.py:424-436);
+        # we ship it live — seeing the mask beside the prediction is the
+        # entire point of the panel.
+        if "mask" in batch:
+            yimg = np.asarray(jax.device_get(batch["mask"]))
+            self.summary.images(
+                step, "test_y",
+                yimg.astype(np.float32) / max(1, self.mcfg.n_classes - 1),
+            )
         return out
 
     def infer(self, imgs: np.ndarray):
