@@ -35,6 +35,7 @@ tests/test_unet_fast.py.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Dict
 
@@ -418,6 +419,46 @@ def _pallas_backend_ok() -> bool:
         return False
 
 
+@jax.custom_vjp
+def _s2conv_t(x, w4):
+    """Linear 4×4/stride-2 VALID conv with a parity-decomposed dgrad.
+
+    XLA's dgrad for a stride-2 conv dilates the output grad
+    (lhs_dilate=2×2), so 3 of every 4 MAC positions multiply structural
+    zeros — at 512²/B=128 the conv2_1 input-grad fusion costs 8.36 ms
+    (train HLO compare_select_fusion.10). The backward here computes the
+    four output-parity classes as dense 2×2 VALID convs over the padded
+    grad (each tap subset w4[a::2, b::2] rotated 180°) and interleaves
+    them with unpack2 — same FLOPs as the forward instead of 4×.
+    Bias/relu stay OUTSIDE so XLA's AD keeps its usual residual choices.
+    """
+    return _conv_batch_sharded(x, w4, (2, 2))
+
+
+def _s2conv_t_fwd(x, w4):
+    return _s2conv_t(x, w4), (x, w4)
+
+
+def _s2conv_t_bwd(res, g):
+    x, w4 = res
+    _, vjp_w = jax.vjp(
+        lambda w: _conv_batch_sharded(x, w, (2, 2)), w4
+    )
+    (gw,) = vjp_w(g)
+    # grad_x[2u+a, 2v+b, c] = Σ_{i,j,o} g[u-i, v-j, o]·w4[a+2i, b+2j, c, o]
+    gp = jnp.pad(g, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    parts = []
+    for a in range(2):
+        for b in range(2):
+            k2 = jnp.swapaxes(w4[a::2, b::2][::-1, ::-1], 2, 3)
+            parts.append(_conv_batch_sharded(gp, k2, (1, 1)))
+    gx = unpack2(jnp.stack(parts, axis=3))
+    return gx, gw
+
+
+_s2conv_t.defvjp(_s2conv_t_fwd, _s2conv_t_bwd)
+
+
 def strided_packed_conv3_flat(x, w4, b, relu=True, pallas=True,
                               paired=False):
     """Strided entry conv with FLAT packed output: [N,H,W,C] →
@@ -446,7 +487,7 @@ def strided_packed_conv3_flat(x, w4, b, relu=True, pallas=True,
     if paired:  # un-pair for the XLA conv (correctness fallback)
         n, h, w2, c2 = x.shape
         x = _reshape(x, (n, h, 2 * w2, c2 // 2))
-    y = _conv_batch_sharded(x, w4.astype(x.dtype), (2, 2))
+    y = _s2conv_t(x, w4.astype(x.dtype))
     y = y + tile_bias4(b).astype(y.dtype)
     return _relu(y) if relu else y
 
@@ -555,12 +596,15 @@ def deconv2_packed_in_flat(x4, wm, b, o, relu=True, pallas=True):
 
         return deconv_packed_flat(x4, wm, tile_bias4(b), relu=relu)
     n, i, j, c4 = x4.shape
-    y = jnp.einsum(
-        "nijsc,ck->nijsk", view5(x4, c4 // 4), wm.astype(x4.dtype)
-    )
-    y = _reshape(y, (n, i, j, 2, 2, 2, 2, o))  # a, b, d, e, o
-    y = y.transpose(0, 1, 3, 2, 4, 5, 6, 7)   # n, i, a, j, b, d, e, o
-    y = _reshape(y, (n, 2 * i, 2 * j, 4 * o))
+    # Unpack-then-matmul: with an UNPACKED input each pixel maps to one
+    # packed output row, so the einsum emits the FLAT packed output
+    # directly — no 8-D slot transpose. The old einsum-on-slots form
+    # needed a [n,i,2,j,2,2,2,o] transpose whose fwd+bwd copies cost
+    # 5.3 ms/step at 512²/B=128 (train HLO: copy.321/copy.328); the
+    # unpack here moves the same rearrangement onto the 2× smaller
+    # INPUT tensor (~2.6 ms fwd+bwd). Bitwise-identical output.
+    x = unpack2(view5(x4, c4 // 4))
+    y = jnp.einsum("nijc,ck->nijk", x, wm.astype(x4.dtype))
     y = y + tile_bias4(b).astype(y.dtype)
     return _relu(y) if relu else y
 
@@ -586,6 +630,66 @@ def packed_center_crop_flat(x4, c, target_hw, off):
                 x5[:, ro : ro + th // 2, co : co + tw // 2, src_slot, :]
             )
     return flat4(jnp.stack(slots, axis=3))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _crop_flat_odd_t(x4, c, target_hw, off):
+    """Odd-offset (slot-phase) packed crop with a flat-4D backward.
+
+    XLA's AD of the 5-D slot-phase slice/stack round-trips layout copies
+    on the backward (train HLO copy.313/copy.338, 6.2 ms/step at
+    512²/B=128); this VJP builds the un-crop directly in the flat 4-D
+    layout — 4 pads + a channel concat that fuse into the downstream
+    grad junction. NO optimization_barrier: measured (r4), a barrier
+    here splits the junction into a materialized copy + a 10.4 ms kLoop
+    pass; letting XLA fuse freely is faster. Even offsets keep plain
+    slice AD — its backward pad merges into the producing dgrad conv's
+    window, and that "wasteful" full-size dgrad fuses the whole junction
+    epilogue (pads/adds/selects/bias reduce) into the conv's epilogue,
+    which beats the split form end-to-end."""
+    return packed_center_crop_flat(x4, c, target_hw, off)
+
+
+def _crop_flat_odd_t_fwd(x4, c, target_hw, off):
+    return packed_center_crop_flat(x4, c, target_hw, off), (
+        x4.shape[1], x4.shape[2]
+    )
+
+
+def _crop_flat_odd_t_bwd(c, target_hw, off, res, g):
+    hp, wp = res
+    th, tw = target_hw
+    oh, ow = off
+    # Forward sends src slot 2·((oh+d)%2)+((ow+e)%2) to dst slot (d, e)
+    # from packed rows [ro, ro+th/2) — each SRC slot receives exactly one
+    # dst slot's grad at the inverse placement.
+    parts = []
+    for sa in range(2):
+        for sb in range(2):
+            d = (sa - oh) % 2
+            e = (sb - ow) % 2
+            dst = 2 * d + e
+            ro = (oh + d) // 2
+            co = (ow + e) // 2
+            parts.append(jnp.pad(g[..., dst * c:(dst + 1) * c], (
+                (0, 0),
+                (ro, hp - th // 2 - ro),
+                (co, wp - tw // 2 - co),
+                (0, 0),
+            )))
+    return (jnp.concatenate(parts, axis=-1),)
+
+
+_crop_flat_odd_t.defvjp(_crop_flat_odd_t_fwd, _crop_flat_odd_t_bwd)
+
+
+def crop_flat_t(x4, c, target_hw, off):
+    """Trainable packed center-crop: flat-4D custom backward for odd
+    (slot-phase) offsets, plain slice AD for even offsets (see
+    _crop_flat_odd_t for the measured rationale)."""
+    if off[0] % 2 == 0 and off[1] % 2 == 0:
+        return packed_center_crop_flat(x4, c, target_hw, off)
+    return _crop_flat_odd_t(x4, c, target_hw, off)
 
 
 # ----------------------------------------------------------- padded-flat
@@ -1468,7 +1572,7 @@ class UNetS2DInference:
                         a_slot_phase=None if even else off,
                     )
                 else:
-                    sk = packed_center_crop_flat(sk, width, (th, tw), off)
+                    sk = crop_flat_t(sk, width, (th, tw), off)
                     h4 = self._packed_conv_dual(p, c1, sk, h4)
                 if head is not None and lvl == 0:
                     h4, head_mask = self._packed_conv(
@@ -1502,7 +1606,16 @@ class UNetS2DInference:
                 if head_mask is not None:
                     return h, head_mask
                 return h
-            h = unpack2(view5(h, k))
+            # 1×1 output head IN packed layout (the 1×1 conv acts per
+            # pixel, so it commutes with the unpack exactly): the unpack
+            # transpose then moves from the C=32 decoder tensor to the
+            # nc-channel logits — 16× less relayout traffic, fwd AND
+            # bwd (train HLO copy.326/copy.327, 5.3 ms/step at
+            # 512²/B=128).
+            w1 = p["output/w"].astype(h.dtype)[0, 0]
+            y5 = jnp.einsum("nijsc,ck->nijsk", view5(h, k), w1)
+            logits = unpack2(y5)
+            return logits + p["output/b"].astype(logits.dtype)
         logits = _conv_batch_sharded(h, p["output/w"].astype(h.dtype), (1, 1))
         return logits + p["output/b"].astype(logits.dtype)
 

@@ -347,3 +347,90 @@ def test_pool4_select_matches_reduce(np_rng):
     # continuous random input -> no ties -> grads identical
     np.testing.assert_allclose(np.asarray(g_sel), np.asarray(g_ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_crop_flat_t_grads(np_rng):
+    """crop_flat_t (custom-VJP crop, flat-4D uncrop backward) matches the
+    plain slice formulation's value and gradient for even AND odd
+    (slot-phase) offsets."""
+    import jax
+    import jax.numpy as jnp
+
+    from segmentation_tpu.models.unet_fast import (
+        crop_flat_t, packed_center_crop_flat,
+    )
+
+    c = 8
+    x4 = jnp.asarray(np_rng.normal(size=(2, 9, 9, 4 * c)), jnp.float32)
+    for off in ((2, 2), (1, 3), (3, 1), (5, 5), (3, 3)):
+        th, tw = 8, 6
+        cot = jnp.asarray(
+            np_rng.normal(size=(2, th // 2, tw // 2, 4 * c)), jnp.float32
+        )
+
+        def f_got(v):
+            return (crop_flat_t(v, c, (th, tw), off) * cot).sum()
+
+        def f_ref(v):
+            return (packed_center_crop_flat(v, c, (th, tw), off)
+                    * cot).sum()
+
+        np.testing.assert_allclose(f_got(x4), f_ref(x4), rtol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(jax.grad(f_got)(x4)),
+            np.asarray(jax.grad(f_ref)(x4)),
+        )
+
+
+def test_s2conv_t_grads(np_rng):
+    """_s2conv_t's parity-decomposed dgrad and vjp-projected wgrad match
+    XLA's AD of the plain stride-2 conv."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from segmentation_tpu.models.unet_fast import _DN, _s2conv_t
+
+    c, o4 = 5, 12
+    x = jnp.asarray(np_rng.normal(size=(2, 14, 18, c)), jnp.float32)
+    w4 = jnp.asarray(np_rng.normal(size=(4, 4, c, o4)) * 0.1, jnp.float32)
+
+    def ref(xx, ww):
+        return lax.conv_general_dilated(
+            xx, ww, (2, 2), "VALID", dimension_numbers=_DN
+        )
+
+    cot = jnp.asarray(np_rng.normal(size=ref(x, w4).shape), jnp.float32)
+
+    def lg(f):
+        def loss(xx, ww):
+            return (f(xx, ww) * cot).sum()
+
+        return jax.value_and_grad(loss, argnums=(0, 1))(x, w4)
+
+    vg, (gx_g, gw_g) = lg(_s2conv_t)
+    vr, (gx_r, gw_r) = lg(ref)
+    np.testing.assert_allclose(vg, vr, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx_g), np.asarray(gx_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_g), np.asarray(gw_r),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_packed_head_matches_unpacked(np_rng):
+    """The packed-layout 1x1 output head (einsum on the slot view, then
+    unpack) equals conv-after-unpack."""
+    import jax.numpy as jnp
+
+    from segmentation_tpu.models.unet_fast import (
+        _conv_batch_sharded, unpack2, view5,
+    )
+
+    k, nc = 8, 3
+    h = jnp.asarray(np_rng.normal(size=(2, 5, 7, 4 * k)), jnp.float32)
+    w = jnp.asarray(np_rng.normal(size=(1, 1, k, nc)), jnp.float32)
+
+    ref = _conv_batch_sharded(unpack2(view5(h, k)), w, (1, 1))
+    got = unpack2(jnp.einsum("nijsc,ck->nijsk", view5(h, k), w[0, 0]))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
