@@ -58,6 +58,18 @@ def main(batch=128, outfile="/tmp/train_hlo.txt"):
     with open(outfile, "w") as f:
         f.write(text)
     print(f"wrote {len(text)} bytes -> {outfile}")
+    try:
+        ma = compiled.memory_analysis()
+        gb = 1024 ** 3
+        print(
+            f"memory: peak {ma.temp_size_in_bytes / gb:.2f} GiB temp + "
+            f"{ma.argument_size_in_bytes / gb:.2f} arg + "
+            f"{ma.output_size_in_bytes / gb:.2f} out "
+            f"(alias {ma.alias_size_in_bytes / gb:.2f}), "
+            f"gen code {ma.generated_code_size_in_bytes / 1024**2:.1f} MiB"
+        )
+    except Exception as e:  # axon backend may not expose it
+        print(f"memory_analysis unavailable: {e}")
 
 
 if __name__ == "__main__":
