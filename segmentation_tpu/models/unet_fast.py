@@ -555,11 +555,15 @@ def _pool4_fwd(x4):
 
 
 def _pool4_bwd(idx, g):
-    zero = jnp.zeros_like(g)
-    parts = [
-        jnp.where(idx == jnp.int8(si), g, zero) for si in range(4)
-    ]
-    return (jnp.concatenate(parts, axis=-1),)
+    # Broadcast-compare form, NOT a channel concat: XLA lowers a 4-way
+    # concatenate as pad+iota-select+maximum chains (4+ full-size passes;
+    # the level-2 junction fusion cost 7.3 ms/step at 512²/B=128). The
+    # [.., 4, c] broadcast writes each output element once and the final
+    # flat reshape is layout-free.
+    n, hp, wp, c = g.shape
+    sl = jnp.arange(4, dtype=jnp.int8).reshape(1, 1, 1, 4, 1)
+    d5 = jnp.where(idx[..., None, :] == sl, g[..., None, :], 0)
+    return (_reshape(d5, (n, hp, wp, 4 * c)),)
 
 
 pool4_select.defvjp(_pool4_fwd, _pool4_bwd)
@@ -662,8 +666,15 @@ def _crop_flat_odd_t_bwd(c, target_hw, off, res, g):
     oh, ow = off
     # Forward sends src slot 2·((oh+d)%2)+((ow+e)%2) to dst slot (d, e)
     # from packed rows [ro, ro+th/2) — each SRC slot receives exactly one
-    # dst slot's grad at the inverse placement.
-    parts = []
+    # dst slot's grad at the inverse placement. Built as 4 static-slice
+    # updates into a zeroed 5-D [n,hp,wp,4,c] view (then a layout-free
+    # flat reshape), NOT pad+concat: XLA lowers a channel concatenate as
+    # full-size pad+iota-select+maximum chains, 4+ passes over the big
+    # junction tensor (7.3 ms level-2 junction fusion at 512²/B=128).
+    n = g.shape[0]
+    th2, tw2 = th // 2, tw // 2
+    g5 = _reshape(g, (n, th2, tw2, 4, c))
+    z = jnp.zeros((n, hp, wp, 4, c), g.dtype)
     for sa in range(2):
         for sb in range(2):
             d = (sa - oh) % 2
@@ -671,13 +682,10 @@ def _crop_flat_odd_t_bwd(c, target_hw, off, res, g):
             dst = 2 * d + e
             ro = (oh + d) // 2
             co = (ow + e) // 2
-            parts.append(jnp.pad(g[..., dst * c:(dst + 1) * c], (
-                (0, 0),
-                (ro, hp - th // 2 - ro),
-                (co, wp - tw // 2 - co),
-                (0, 0),
-            )))
-    return (jnp.concatenate(parts, axis=-1),)
+            z = z.at[:, ro:ro + th2, co:co + tw2, 2 * sa + sb, :].set(
+                g5[:, :, :, dst, :]
+            )
+    return (_reshape(z, (n, hp, wp, 4 * c)),)
 
 
 _crop_flat_odd_t.defvjp(_crop_flat_odd_t_fwd, _crop_flat_odd_t_bwd)
@@ -1041,12 +1049,19 @@ class UNetS2DInference:
         """Decoder std conv over the (cropped-skip, upsampled) pair.
 
         Base path is the reference's crop-and-concat conv
-        (/root/reference/models/unet.py:138-162). The int8 subclass
-        splits the weight along input channels so each operand keeps its
-        own scale and the skip can stay int8-resident."""
-        return self._std_conv(
-            p, name, jnp.concatenate([sk, up], axis=-1), relu
-        )
+        (/root/reference/models/unet.py:138-162), computed as a
+        split-weight SUM — conv(concat(a,b), w) == conv(a, w[:, :, :c])
+        + conv(b, w[:, :, c:]) — so the concatenated activation is never
+        materialized (XLA lowers a channel concat as full-size
+        pad+select+maximum passes) and its backward is two direct dgrads
+        instead of slices of one. The int8 subclass does the same split
+        so each operand keeps its own scale."""
+        w = p[f"{name}/w"].astype(sk.dtype)
+        ci = sk.shape[-1]
+        ya = _conv_batch_sharded(sk, w[:, :, :ci], (1, 1))
+        yb = _conv_batch_sharded(up, w[:, :, ci:], (1, 1))
+        y = ya + yb + p[f"{name}/b"].astype(ya.dtype)
+        return _relu(y) if relu else y
 
     # ---- padded-flat serving hooks ---------------------------------------
     # The packed region can run entirely on the conv_flat kernels with
