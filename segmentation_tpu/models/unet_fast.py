@@ -530,10 +530,12 @@ def pool4_select(x4):
     select-VJP (save x4, recompute the max, cumulative first-hit masks)
     still cost ~30 ms/step in and/select fusions. This version computes
     the winning slot index IN THE FORWARD (3 compare/selects, int8) and
-    saves ONLY that [.., C] index plane — the backward is four
-    ``where(idx == s, g, 0)`` selects and one concat. Same deterministic
-    tie-break (first slot attaining the max), 8× smaller residual than
-    saving x4 (the buffer that blocked B≥160 compiles)."""
+    saves ONLY that [.., C] index plane — the backward broadcasts g
+    against a [.., 4, C] slot-index compare and reshapes the result
+    straight into the flat [.., 4C] cotangent (one fused select-write,
+    no concat — see _pool4_bwd). Same deterministic tie-break (first
+    slot attaining the max), 8× smaller residual than saving x4 (the
+    buffer that blocked B≥160 compiles)."""
     return _pool4_max_flat(x4)
 
 
@@ -1055,8 +1057,15 @@ class UNetS2DInference:
         materialized (XLA lowers a channel concat as full-size
         pad+select+maximum passes) and its backward is two direct dgrads
         instead of slices of one. The int8 subclass does the same split
-        so each operand keeps its own scale."""
-        w = p[f"{name}/w"].astype(sk.dtype)
+        so each operand keeps its own scale.
+
+        Both halves run in the PROMOTED dtype of (sk, up) — the concat
+        form promoted silently, and the split form must keep that
+        contract even though every current call site passes matching
+        dtypes (the int8 subclass dequantizes sk before super())."""
+        dt = jnp.promote_types(sk.dtype, up.dtype)
+        sk, up = sk.astype(dt), up.astype(dt)
+        w = p[f"{name}/w"].astype(dt)
         ci = sk.shape[-1]
         ya = _conv_batch_sharded(sk, w[:, :, :ci], (1, 1))
         yb = _conv_batch_sharded(up, w[:, :, ci:], (1, 1))
