@@ -333,9 +333,12 @@ def sec_serving_bf16(out: SectionWriter):
 
     best = 0.0
     sweep = {}
-    # B=256/512 rows keep the bf16-vs-int8 comparison honest (int8 sweeps
-    # to 512 and gains from batch; bf16 gets the same chance).
-    for batch in (64, 128, 256, 512):
+    # B=256/384/512 rows keep the bf16-vs-int8 comparison honest (int8
+    # sweeps to 512 and gains from batch; bf16 gets the same chance).
+    # bf16 B=512 fails DETERMINISTICALLY in the AOT compile helper
+    # (subprocess exit 1, rounds 4 and 5, retried with backoff both
+    # times) — B=384 bounds the large-batch bf16 trend instead.
+    for batch in (64, 128, 256, 384, 512):
         try:
             ips = _queued_throughput(infer_fn, batch, 0, note)
             sweep[str(batch)] = round(ips, 1)

@@ -755,6 +755,14 @@ class SegmentationTrainer(Trainer):
             or not isinstance(self.model, (UNet, UNetS2D))
             or not (0.0 < float(mcfg.dropout_rate) < 1.0)
             or h % 2 or w % 2 or min(h, w) < 192
+            # 1024²-class tiles: the packed MC graph deterministically
+            # crashes the AOT compile helper (HTTP 500, exit 1 — bench
+            # round 5, bayesian_mc8_1024_tiles_per_sec_fast), so the
+            # fast route is UNMEASURED there and the standard path wins
+            # by default (VERDICT r4 item 2: never default to an
+            # unmeasured path). 512²-class serving is measured and keeps
+            # the packed route.
+            or h * w > 640 * 640
         ):
             return None
         key = (imgs.shape, n_samples, sp, int(self.state.step))

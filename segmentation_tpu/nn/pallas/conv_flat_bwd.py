@@ -169,6 +169,95 @@ def conv2x2_dgrad_padflat(g, w, *, h_out: int, w_out: int, s: int,
     )(*parts, g, g)
 
 
+def _conv2x2_dgrad_dual_kernel(r_block, s, h_out, out_dtype, *refs):
+    """Dual-site dgrad: ONE pass over the cotangent block produces both
+    operands' input gradients (the decoder dual conv reads the skip and
+    the upsampled tensor; its backward would otherwise stream g twice)."""
+    wts = refs[0:8]   # a-taps then b-taps, each (00, 01, 10, 11)
+    g_main_ref, g_prev_ref = refs[8], refs[9]
+    outs = refs[10:12]
+    i = pl.program_id(1)
+    g_main = g_main_ref[0]
+    g_prev = g_prev_ref[0]
+    rows = lax.broadcasted_iota(jnp.int32, (r_block * s, 1), 0)
+    lim_g = (h_out - 1 - i * r_block) * s
+    lim_out = (h_out - i * r_block) * s
+
+    for half in range(2):
+        wt00, wt01, wt10, wt11 = wts[4 * half : 4 * half + 4]
+
+        def src(wt):
+            q = jnp.dot(g_main, wt[:], preferred_element_type=jnp.float32)
+            return jnp.where(rows < lim_g, q, 0.0)
+
+        keep = src(wt00) + _rollup(src(wt01), 1)
+        acc = keep + _rollup(src(wt10), s) + _rollup(src(wt11), s + 1)
+        p10 = jnp.dot(g_prev, wt10[:], preferred_element_type=jnp.float32)
+        p11 = jnp.dot(g_prev, wt11[:], preferred_element_type=jnp.float32)
+        prev = jnp.where(i > 0, p10 + _rollup(p11, 1), 0.0)
+        first = keep[:s] + prev
+        first = jnp.where(rows[:s] < lim_out, first, 0.0).astype(out_dtype)
+        main = jnp.where(rows < lim_out, acc, 0.0).astype(out_dtype)
+        outs[half][0, 0:s] = first
+        if r_block > 1:
+            outs[half][0, s : r_block * s] = main[s:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h_out", "w_out", "s", "r_block", "interpret"),
+)
+def conv2x2_dgrad_dual_padflat(g, wa, wb, *, h_out: int, w_out: int,
+                               s: int, r_block: Optional[int] = None,
+                               interpret: bool = False):
+    """Input-gradients of conv2x2_dual_padflat: returns (gxa, gxb), each
+    flat [N, nb·R·S, C] with zeroed junk — same contract and structure
+    as conv2x2_dgrad_padflat, with the g block read once for both."""
+    n, _, o = g.shape
+    c = wa.shape[2]
+    assert c % 128 == 0 and o % 128 == 0, (c, o)
+    assert wa.shape == wb.shape, (wa.shape, wb.shape)
+    if r_block is None:
+        r_block = _auto_r(h_out)
+    io_bytes = g.dtype.itemsize * o + 2 * 2 * c  # g in, two outs
+    r_block = _fit_r(max(1, min(r_block, h_out)), s, io_bytes,
+                     acc_bytes=2 * 4 * c)
+    nb = pl.cdiv(h_out, r_block)
+    parts = []
+    for w in (wa, wb):
+        wt = w.astype(g.dtype)
+        parts += [
+            jnp.transpose(wt[0, 0]), jnp.transpose(wt[0, 1]),
+            jnp.transpose(wt[1, 0]), jnp.transpose(wt[1, 1]),
+        ]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8
+    in_specs += [
+        pl.BlockSpec((1, r_block * s, o), lambda n_, i: (n_, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, s, o),
+            lambda n_, i: (n_, jnp.maximum(i * r_block - 1, 0), 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    out_spec = pl.BlockSpec((1, r_block * s, c), lambda n_, i: (n_, i, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _conv2x2_dgrad_dual_kernel, r_block, s, h_out, g.dtype
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, nb * r_block * s, c), g.dtype),
+            jax.ShapeDtypeStruct((n, nb * r_block * s, c), g.dtype),
+        ),
+        grid=(n, nb),
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec),
+        interpret=_interp(interpret),
+    )(*parts, g, g)
+
+
 def conv2x2_wgrad_flat(x, g, *, h_out: int, s: int,
                        pref=jnp.float32):
     """Filter gradient of the flat 2×2 VALID conv, as four XLA dots.

@@ -164,3 +164,45 @@ def test_dgrad_bf16_matches_bf16_xla(np_rng):
         np.asarray(gx_ref, np.float32),
         rtol=0.05, atol=0.05,
     )
+
+
+@pytest.mark.parametrize("r_block", [None, 2])
+def test_dgrad_dual_parity(np_rng, r_block):
+    from segmentation_tpu.nn.pallas.conv_flat_bwd import (
+        conv2x2_dgrad_dual_padflat,
+    )
+
+    n, h, w, c, o = 2, 7, 6, 128, 128
+    xa = jnp.asarray(np_rng.standard_normal((n, h, w, c)), jnp.float32)
+    xb = jnp.asarray(np_rng.standard_normal((n, h, w, c)), jnp.float32)
+    wa = jnp.asarray(np_rng.standard_normal((2, 2, c, o)) * 0.1,
+                     jnp.float32)
+    wb = jnp.asarray(np_rng.standard_normal((2, 2, c, o)) * 0.1,
+                     jnp.float32)
+    g4 = jnp.asarray(np_rng.standard_normal((n, h - 1, w - 1, o)),
+                     jnp.float32)
+
+    def f(a, b):
+        return (
+            lax.conv_general_dilated(a, wa, (1, 1), "VALID",
+                                     dimension_numbers=_DN)
+            + lax.conv_general_dilated(b, wb, (1, 1), "VALID",
+                                       dimension_numbers=_DN)
+        )
+
+    _, vjp = jax.vjp(f, xa, xb)
+    gxa_ref, gxb_ref = vjp(g4)
+
+    s = stride_for(w, xa.dtype)
+    gxa, gxb = conv2x2_dgrad_dual_padflat(
+        pad_rows(g4, s), wa, wb, h_out=h, w_out=w, s=s,
+        r_block=r_block, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(unpad_rows(gxa, s, h, w)), np.asarray(gxa_ref),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(unpad_rows(gxb, s, h, w)), np.asarray(gxb_ref),
+        rtol=1e-5, atol=1e-5,
+    )
