@@ -121,6 +121,8 @@ def main(batch=128):
               f"  pal_dgrad_w {t_pal_w:7.2f}  | xla_wgrad {t_xw:7.2f}"
               f"  flat_wgrad {t_fw:7.2f}   ({gb / t_xla * 1e3 / 1e3:5.1f}"
               f" TFLOP/s xla fwd-equiv)", flush=True)
+        for a in (g4, x4, gfp, gfw, xfp):
+            a.delete()  # free HBM now — tunnel frees are deferred
     print("DONE", flush=True)
 
 
