@@ -79,38 +79,35 @@ def main(batch=128):
         x4 = jax.random.normal(key, (batch, h, w, c), dt)
         wk = jax.random.normal(key, (2, 2, c, o), dt) * 0.05
 
-        def f(x_):
+        # NOTE: every jit takes its arrays as ARGUMENTS — a vjp closure
+        # would bake the 2 GB residual in as a CONSTANT, and this
+        # environment ships constants to the AOT compile helper (a
+        # multi-minute upload per compile; wedged the first run).
+        def f(x_, w_):
             return lax.conv_general_dilated(
-                x_, wk, (1, 1), "VALID", dimension_numbers=_DN)
+                x_, w_, (1, 1), "VALID", dimension_numbers=_DN)
 
-        _, vjp = jax.vjp(f, x4)
-        t_xla = bench(jax.jit(lambda gg: vjp(gg)[0]), g4)
+        @jax.jit
+        def xla_dgrad(gg, w_, x_):
+            return jax.vjp(lambda t: f(t, w_), x_)[1](gg)[0]
+
+        t_xla = bench(xla_dgrad, g4, wk, x4)
 
         s_pad = stride_for(w, dt)
         gfp = pad_rows(g4, s_pad)
 
         t_pal = bench(
-            jax.jit(lambda gg: conv2x2_dgrad_padflat(
-                gg, wk, h_out=h, w_out=w, s=s_pad)), gfp)
-
-        # unaligned stride = w: cotangent is a plain reshape of g4 padded
-        # by one junk col (use w as stride with w_real = w-1... the
-        # geometry: real cols w-1, stride w ≥ w-1+1)
-        gfw = g4  # [B, h-1, w-1, O] → flat stride w-1+1? need junk col
-        gfw = jnp.pad(g4, ((0, 0), (0, 0), (0, 1), (0, 0)))  # [.., w, O]
-        gfw = gfw.reshape(batch, (h - 1) * w, o)
-        try:
-            t_pal_w = bench(
-                jax.jit(lambda gg: conv2x2_dgrad_padflat(
-                    gg, wk, h_out=h, w_out=w, s=w)), gfw)
-        except Exception as e:  # noqa: BLE001
-            t_pal_w = float("nan")
-            print(f"  {name} unaligned failed: {str(e)[:120]}", flush=True)
+            jax.jit(lambda gg, w_: conv2x2_dgrad_padflat(
+                gg, w_, h_out=h, w_out=w, s=s_pad)), gfp, wk)
+        t_pal_w = float("nan")  # unaligned stride: rejected by Mosaic
+        # (block dims must divide 8/128 — measured round 5, first run)
 
         # wgrad comparison
-        _, vjpw = jax.vjp(lambda w_: lax.conv_general_dilated(
-            x4, w_, (1, 1), "VALID", dimension_numbers=_DN), wk)
-        t_xw = bench(jax.jit(lambda gg: vjpw(gg)[0]), g4)
+        @jax.jit
+        def xla_wgrad(gg, w_, x_):
+            return jax.vjp(lambda t: f(x_, t), w_)[1](gg)[0]
+
+        t_xw = bench(xla_wgrad, g4, wk, x4)
         xfp = pad_rows(x4, s_pad)
         t_fw = bench(
             jax.jit(lambda xx, gg: conv2x2_wgrad_flat(
@@ -121,7 +118,7 @@ def main(batch=128):
               f"  pal_dgrad_w {t_pal_w:7.2f}  | xla_wgrad {t_xw:7.2f}"
               f"  flat_wgrad {t_fw:7.2f}   ({gb / t_xla * 1e3 / 1e3:5.1f}"
               f" TFLOP/s xla fwd-equiv)", flush=True)
-        for a in (g4, x4, gfp, gfw, xfp):
+        for a in (g4, x4, gfp, xfp):
             a.delete()  # free HBM now — tunnel frees are deferred
     print("DONE", flush=True)
 

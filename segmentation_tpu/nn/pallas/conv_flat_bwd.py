@@ -113,19 +113,23 @@ def _conv2x2_dgrad_padflat_kernel(r_block, s, h_out, out_dtype, *refs):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h_out", "w_out", "s", "r_block", "interpret"),
+    static_argnames=("h_out", "w_out", "s", "r_block", "hp_out",
+                     "interpret"),
 )
 def conv2x2_dgrad_padflat(g, w, *, h_out: int, w_out: int, s: int,
                           r_block: Optional[int] = None,
+                          hp_out: Optional[int] = None,
                           interpret: bool = False):
     """Input-gradient of conv2x2_padflat.
 
     g: [N, HPg·S, O] flat cotangent of the conv output (real geometry
     (h_out−1) × (w_out−1) at stride s, junk ZEROED); w: [2, 2, C, O]
-    (the forward weight). Returns gx flat [N, nb·R·S, C] with real
-    geometry h_out × w_out and ZEROED junk (real rows h_out; rows
-    beyond, through the block-padded allocation, are zero). C, O must
-    be 128-multiples.
+    (the forward weight). Returns gx flat [N, HP·S, C] with real
+    geometry h_out × w_out and ZEROED junk (rows beyond h_out, through
+    the allocation, are zero). ``hp_out`` pins the output allocation's
+    row count (a custom_vjp must return dx with exactly x's shape —
+    Pallas masks the partially-out-of-range tail stores); default is
+    the block-padded nb·R. C, O must be 128-multiples.
     """
     n, _, o = g.shape
     c = w.shape[2]
@@ -135,7 +139,9 @@ def conv2x2_dgrad_padflat(g, w, *, h_out: int, w_out: int, s: int,
     io_bytes = g.dtype.itemsize * o + 2 * c  # g in, bf16/f32-ish out
     r_block = _fit_r(max(1, min(r_block, h_out)), s, io_bytes,
                      acc_bytes=4 * c)
-    nb = pl.cdiv(h_out, r_block)
+    nb = pl.cdiv(hp_out or h_out, r_block)
+    hp = hp_out or nb * r_block
+    assert hp >= h_out, (hp, h_out)
     grid = (n, nb)
     wt = w.astype(g.dtype)
     parts = [
@@ -159,7 +165,7 @@ def conv2x2_dgrad_padflat(g, w, *, h_out: int, w_out: int, s: int,
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, nb * r_block * s, c), g.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, hp * s, c), g.dtype),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, r_block * s, c),
@@ -205,13 +211,15 @@ def _conv2x2_dgrad_dual_kernel(r_block, s, h_out, out_dtype, *refs):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h_out", "w_out", "s", "r_block", "interpret"),
+    static_argnames=("h_out", "w_out", "s", "r_block", "hp_out",
+                     "interpret"),
 )
 def conv2x2_dgrad_dual_padflat(g, wa, wb, *, h_out: int, w_out: int,
                                s: int, r_block: Optional[int] = None,
+                               hp_out: Optional[int] = None,
                                interpret: bool = False):
     """Input-gradients of conv2x2_dual_padflat: returns (gxa, gxb), each
-    flat [N, nb·R·S, C] with zeroed junk — same contract and structure
+    flat [N, HP·S, C] with zeroed junk — same contract and structure
     as conv2x2_dgrad_padflat, with the g block read once for both."""
     n, _, o = g.shape
     c = wa.shape[2]
@@ -222,7 +230,9 @@ def conv2x2_dgrad_dual_padflat(g, wa, wb, *, h_out: int, w_out: int,
     io_bytes = g.dtype.itemsize * o + 2 * 2 * c  # g in, two outs
     r_block = _fit_r(max(1, min(r_block, h_out)), s, io_bytes,
                      acc_bytes=2 * 4 * c)
-    nb = pl.cdiv(h_out, r_block)
+    nb = pl.cdiv(hp_out or h_out, r_block)
+    hp = hp_out or nb * r_block
+    assert hp >= h_out, (hp, h_out)
     parts = []
     for w in (wa, wb):
         wt = w.astype(g.dtype)
@@ -248,8 +258,8 @@ def conv2x2_dgrad_dual_padflat(g, wa, wb, *, h_out: int, w_out: int,
     return pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((n, nb * r_block * s, c), g.dtype),
-            jax.ShapeDtypeStruct((n, nb * r_block * s, c), g.dtype),
+            jax.ShapeDtypeStruct((n, hp * s, c), g.dtype),
+            jax.ShapeDtypeStruct((n, hp * s, c), g.dtype),
         ),
         grid=(n, nb),
         in_specs=in_specs,

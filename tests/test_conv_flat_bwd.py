@@ -206,3 +206,22 @@ def test_dgrad_dual_parity(np_rng, r_block):
         np.asarray(unpad_rows(gxb, s, h, w)), np.asarray(gxb_ref),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_dgrad_hp_out_exact(np_rng):
+    """hp_out pins the output allocation to exactly the forward input's
+    row count (custom_vjp shape contract); the partially-out-of-range
+    tail block's stores are masked by Pallas."""
+    x4, wk, g4 = _mk(np_rng, h=7, w=6)
+    n, h, w, c = x4.shape
+    s = stride_for(w, x4.dtype)
+    gx_ref, _ = _oracle(x4, wk, g4)
+    gx_flat = conv2x2_dgrad_padflat(
+        pad_rows(g4, s), wk, h_out=h, w_out=w, s=s, r_block=3,
+        hp_out=h, interpret=True,
+    )
+    assert gx_flat.shape[1] == h * s
+    np.testing.assert_allclose(
+        np.asarray(unpad_rows(gx_flat, s, h, w)), np.asarray(gx_ref),
+        rtol=1e-5, atol=1e-5,
+    )
