@@ -275,7 +275,8 @@ def _device_batch(batch, seed, hw=512):
     return x
 
 
-def _queued_throughput(fn, batch, seed, out_note=None, iters=3, K=8):
+def _queued_throughput(fn, batch, seed, out_note=None, iters=3, K=8,
+                       hw=512):
     """Enqueue K dispatches back-to-back, sync ONCE via a checksum on
     the last output: the device stream is ordered, so the sync implies
     all K executions completed. This matches production serving
@@ -288,7 +289,7 @@ def _queued_throughput(fn, batch, seed, out_note=None, iters=3, K=8):
     def _checksum(m):
         return m.sum()
 
-    x = _device_batch(batch, seed)
+    x = _device_batch(batch, seed, hw=hw)
     _retry_compile(lambda: float(_checksum(fn(x))), out_note)  # compile+warm
     best = 0.0
     for _ in range(iters):
@@ -746,13 +747,31 @@ def sec_bayesian(out: SectionWriter):
     # fast-layout MC (packed serving graph with explicit per-pass dropout
     # keys — models/unet_fast.py mc_keys; training/bayesian.py
     # mc_sample_fast). Statistical parity locked in tests/test_mc_fast.py.
+    # samples_per_pass=1: the batch-tiled sp=4 body (B=8 at 1024²)
+    # deterministically crashes the AOT compile helper, while the sp=1
+    # form compiles and measured 17.88 tiles/s (benchmarks/
+    # mc1024_probe.py formulation ladder, round 5).
     try:
         bfast = UNetS2DInference(bcfg)
         bprep = _bf16_tree(bfast.prepare(jax.device_get(bparams)))
 
+        # plain (non-MC) packed serving at 1024² — BASELINE config #5
+        # geometry coverage; compiles fine (the MC failure is batch-
+        # tiling, not the 1024² region)
+        try:
+            @jax.jit
+            def plain1024(x):
+                return bfast.apply_argmax(bprep, x)
+
+            ips = _queued_throughput(plain1024, Bmc, 6, iters=3, K=4,
+                                     hw=1024)
+            out["unet1024_infer_tiles_per_sec"] = round(ips, 2)
+        except Exception as e:  # noqa: BLE001
+            out["unet1024_infer_tiles_per_sec"] = f"failed: {str(e)[:160]}"
+
         @jax.jit
         def mcf(x, rng):
-            s = mc_sample_fast(bfast, bprep, rng, x, S, 4)
+            s = mc_sample_fast(bfast, bprep, rng, x, S, 1)
             return jnp.mean(s, 0).sum() + jnp.var(s, 0).sum()
 
         _retry_compile(lambda: float(mcf(xb, jax.random.PRNGKey(4))))

@@ -31,7 +31,7 @@ def main(hw=1024, batch=1):
     import numpy as np
 
     from segmentation_tpu.core.config import ModelConfig
-    from segmentation_tpu.core.mesh import make_mesh
+    from segmentation_tpu.core.mesh import MeshSpec, make_mesh
     from segmentation_tpu.models.unet import UNet
     from segmentation_tpu.nn import module as hk
     from segmentation_tpu.parallel.spatial import spatial_apply_valid
@@ -78,7 +78,7 @@ def main(hw=1024, batch=1):
     print(f"monolithic   {t_mono:8.1f} ms/call "
           f"({batch / t_mono * 1e3:6.2f} tiles/s)", flush=True)
 
-    mesh = make_mesh((1, 1), ("sph", "spw"))
+    mesh = make_mesh(MeshSpec(data=1, sph=1, spw=1))
     sp = spatial_apply_valid(
         apply_fn, params, state, mesh, model.output_hw, levels=4,
     )

@@ -755,14 +755,15 @@ class SegmentationTrainer(Trainer):
             or not isinstance(self.model, (UNet, UNetS2D))
             or not (0.0 < float(mcfg.dropout_rate) < 1.0)
             or h % 2 or w % 2 or min(h, w) < 192
-            # 1024²-class tiles: the packed MC graph deterministically
-            # crashes the AOT compile helper (HTTP 500, exit 1 — bench
-            # round 5, bayesian_mc8_1024_tiles_per_sec_fast), so the
-            # fast route is UNMEASURED there and the standard path wins
-            # by default (VERDICT r4 item 2: never default to an
-            # unmeasured path). 512²-class serving is measured and keeps
-            # the packed route.
-            or h * w > 640 * 640
+            # 1024²-class tiles: the packed MC graph compiles ONLY for
+            # small per-pass bodies — B=2/sp=1 compiles and measures
+            # 17.88 tiles/s (parity with the standard path), while the
+            # batch-tiled B·sp ≥ 8 body deterministically crashes the
+            # AOT compile helper (HTTP 500, exit 1 — benchmarks/
+            # mc1024_probe.py formulation ladder, round 5). Decline the
+            # uncompilable shapes; the standard path serves them
+            # (VERDICT r4 item 2: never default to an unmeasured path).
+            or (h * w > 640 * 640 and int(imgs.shape[0]) * sp > 4)
         ):
             return None
         key = (imgs.shape, n_samples, sp, int(self.state.step))
