@@ -16,7 +16,7 @@ artifact. Children flush partial results to their --out file after every
 measurement (atomic rename), so even a killed section keeps what it
 measured. The headline JSON is printed THE MOMENT the serving sections
 finish — everything after it is secondary-metric work. A global
-deadline (BENCH_BUDGET_S, default 2700 s) guarantees exit 0 before any
+deadline (BENCH_BUDGET_S, default 3300 s) guarantees exit 0 before any
 plausible driver timeout.
 
 Sections and what they measure:
@@ -51,9 +51,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 # finishes far under the sum.
 SECTIONS = (
     ("serving_bf16", 780),
-    ("serving_int8", 780),
+    # int8 includes the trained-weights guard: ~350 s with the cached
+    # checkpoint, ~850 s if the cache is cold — budget for the cold case.
+    ("serving_int8", 960),
     ("train", 600),
-    ("bayesian", 660),
+    ("bayesian", 780),
     ("pipeline", 360),
     ("fcn", 300),
     ("adversarial", 360),
@@ -78,7 +80,7 @@ def _atomic_dump(obj, path):
 
 def orchestrate():
     t_start = time.time()
-    budget = float(os.environ.get("BENCH_BUDGET_S", "2700"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "3300"))
     deadline = t_start + budget
 
     details = {"sections": {}}
@@ -538,7 +540,9 @@ def sec_serving_int8(out: SectionWriter):
     # device-side vs 2,845 at B=128 (activation residency;
     # benchmarks/latency_b8.py) — give the dispatch-amortized methodology
     # the same range.
-    for bq in (32, 64, 128, 256, 512):
+    # B=768 probes whether the batch-amortization trend (+1.8 % from
+    # 256→512) continues; a compile-helper crash there degrades one row.
+    for bq in (32, 64, 128, 256, 512, 768):
         try:
             ips = _queued_throughput(infer_q1, bq, 1, note)
             best_q = max(best_q, ips)

@@ -4,12 +4,9 @@ dgrad/wgrad/bias-grad of the padded-flat 2×2 VALID conv are pinned
 bit-level (f32, highest precision) against jax.vjp of the equivalent
 XLA conv — the exact gradients autodiff would produce (VERDICT r4 item
 3: "grads parity-locked in CPU interpret against the XLA VJP").
-Kernels run in interpret mode on CPU (SEG_PALLAS_INTERPRET=1).
+Kernels run in interpret mode on CPU (explicit interpret=True — no
+env override, which would leak into other tests' backend gates).
 """
-
-import os
-
-os.environ["SEG_PALLAS_INTERPRET"] = "1"
 
 import jax
 import jax.numpy as jnp
