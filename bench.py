@@ -92,9 +92,9 @@ def orchestrate():
         except OSError:
             pass
 
-    def print_headline():
-        """Emit the one stdout JSON line. int8 is headline-eligible only
-        when its trained-weights guard passed (VERDICT r3 item 3)."""
+    def headline_value():
+        """int8 is headline-eligible only when its trained-weights guard
+        passed (VERDICT r3 item 3)."""
         bf = details.get("unet512_infer_bf16_images_per_sec")
         best = float(bf) if isinstance(bf, (int, float)) else 0.0
         q = details.get("unet512_int8_images_per_sec")
@@ -102,6 +102,10 @@ def orchestrate():
             q, (int, float)
         ):
             best = max(best, float(q))
+        return best
+
+    def print_headline():
+        best = headline_value()
         details["unet512_infer_images_per_sec"] = round(best, 1)
         print(
             json.dumps(
@@ -115,12 +119,14 @@ def orchestrate():
             flush=True,
         )
 
-    for name, sec_budget in SECTIONS:
+    def launch_section(name, sec_budget, retry=False):
+        nonlocal headline_printed
         remaining = deadline - time.time()
         if remaining < 90:
-            details["sections"][name] = "skipped: global deadline"
-            flush()
-            continue
+            if not retry:
+                details["sections"][name] = "skipped: global deadline"
+                flush()
+            return
         out = f"/tmp/bench_section_{name}.json"
         try:
             os.remove(out)
@@ -130,8 +136,8 @@ def orchestrate():
         # a kill would leave an orphan compile wedging the serial queue.
         scale = float(os.environ.get("BENCH_SECTION_SCALE", "1"))
         cap = min(sec_budget * scale, remaining - 30)
-        print(f"[bench] section {name} (budget {cap:.0f}s)", file=sys.stderr,
-              flush=True)
+        print(f"[bench] section {name} (budget {cap:.0f}s"
+              f"{', retry' if retry else ''})", file=sys.stderr, flush=True)
         t0 = time.time()
         # Child stdout joins our stderr: the orchestrator's stdout carries
         # exactly one JSON line for the whole run.
@@ -154,8 +160,9 @@ def orchestrate():
                 proc.kill()
             proc.wait()
             status = f"timeout after {cap:.0f}s (killed)"
-        details["sections"][name] = status
-        details["sections"][name + "_wall_s"] = round(time.time() - t0, 1)
+        key = name + ("_retry" if retry else "")
+        details["sections"][key] = status
+        details["sections"][key + "_wall_s"] = round(time.time() - t0, 1)
         # Merge whatever the child managed to flush before exit/kill.
         try:
             with open(out) as f:
@@ -164,11 +171,29 @@ def orchestrate():
             pass
         flush()
         if name == "serving_int8" and not headline_printed:
-            print_headline()
-            headline_printed = True
-            flush()
+            # Defer only if there is literally no serving number yet (a
+            # later retry may produce one); otherwise emit NOW so a hang
+            # in any secondary section can never erase the deliverable.
+            if headline_value() > 0:
+                print_headline()
+                headline_printed = True
+                flush()
 
-    if not headline_printed:  # serving sections were skipped entirely
+    for name, sec_budget in SECTIONS:
+        launch_section(name, sec_budget)
+
+    # One retry pass for crashed/killed sections (e.g. the transient
+    # "TPU worker process crashed or restarted" that took out a section
+    # in round-5 validation — the next fresh process recovers).
+    for name, sec_budget in SECTIONS:
+        st = str(details["sections"].get(name, ""))
+        if st == "ok" or st.startswith("skipped"):
+            continue
+        if deadline - time.time() < 150:
+            break
+        launch_section(name, sec_budget, retry=True)
+
+    if not headline_printed:
         print_headline()
     flush()
     return 0
@@ -641,7 +666,14 @@ def sec_train(out: SectionWriter):
             carry, ls = jax.lax.scan(step, carry, (xs, ys))
             return carry, ls.sum()
 
-        Kt = 2
+        # Steps per dispatch: the serving rows amortize this
+        # environment's ~26 ms tunnel round-trip over K=8 queued
+        # dispatches; the train rows ride the same production construct
+        # (Trainer.train_steps — n steps in ONE dispatch). Device-side
+        # per-step time is dispatch-count invariant (measured round 3);
+        # Kt only removes the tunnel artifact from the host-observed
+        # number. Kt=4 at B=192 bounds the staged-input HBM.
+        Kt = 8 if Bt <= 128 else 4
         xs = jax.jit(
             lambda key: jax.random.uniform(
                 key, (Kt, Bt, 512, 512, 3), jnp.bfloat16
