@@ -766,9 +766,10 @@ def sec_bayesian(out: SectionWriter):
         try:
             mc = make_mc(sp)
             _retry_compile(lambda: float(mc(xb, jax.random.PRNGKey(4))))
-            t0 = time.perf_counter()
-            float(mc(xb, jax.random.PRNGKey(5)))
-            dt = time.perf_counter() - t0
+            dt = min(
+                _measure_once(lambda: float(mc(xb, jax.random.PRNGKey(5))))
+                for _ in range(2)
+            )
             out[key] = round(Bmc / dt, 2)
         except Exception as e:  # noqa: BLE001
             out[key] = f"failed: {str(e)[:200]}"
@@ -811,9 +812,10 @@ def sec_bayesian(out: SectionWriter):
             return jnp.mean(s, 0).sum() + jnp.var(s, 0).sum()
 
         _retry_compile(lambda: float(mcf(xb, jax.random.PRNGKey(4))))
-        t0 = time.perf_counter()
-        float(mcf(xb, jax.random.PRNGKey(5)))
-        dt = time.perf_counter() - t0
+        dt = min(
+            _measure_once(lambda: float(mcf(xb, jax.random.PRNGKey(5))))
+            for _ in range(2)
+        )
         fast_rate = round(Bmc / dt, 2)
         out["bayesian_mc8_1024_tiles_per_sec_fast"] = fast_rate
         # The fast route takes the headline only by MEASURING faster
@@ -958,13 +960,16 @@ def sec_pipeline(out: SectionWriter):
     tp, ms, os_, loss = train_step_e(tp, ms, os_, x, y)
     float(loss)
     n_steps = 5
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        x, y = fetch()
-        tp, ms, os_, loss = train_step_e(tp, ms, os_, x, y)
-    float(loss)
-    dt = time.perf_counter() - t0
-    out["e2e_disk_to_step_images_per_sec"] = round(n_steps * Be / dt, 1)
+    best_dt = 1e9
+    for _ in range(2):  # best-of-2 windows: the 1-core host's loader
+        t0 = time.perf_counter()  # threads contend with the feed loop
+        for _ in range(n_steps):
+            x, y = fetch()
+            tp, ms, os_, loss = train_step_e(tp, ms, os_, x, y)
+        float(loss)
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    out["e2e_disk_to_step_images_per_sec"] = round(
+        n_steps * Be / best_dt, 1)
     ds.close()
 
 
@@ -1078,9 +1083,9 @@ def sec_mnist(out: SectionWriter):
     aet.train_step()
     n = 20
     _retry_compile(lambda: aet.train_steps(n))  # compile the scanned window
-    t0 = time.perf_counter()
-    aet.train_steps(n)  # n steps in ONE dispatch (Trainer.train_steps)
-    dt = time.perf_counter() - t0
+    dt = min(  # n steps in ONE dispatch (Trainer.train_steps); best-of-2
+        _measure_once(lambda: aet.train_steps(n)) for _ in range(2)
+    )
     out["mnist_autoencoder_steps_per_sec"] = round(n / dt, 1)
 
 

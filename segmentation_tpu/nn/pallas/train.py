@@ -12,6 +12,14 @@ fused epilogues avoid — so wrapping the serving kernels in custom_vjp
 The measurement (512²/B=128 on v5e, benchmarks/profile_train_cats.py
 with/without): 422 ms/step vs 305 pure-XLA. The forward kernels ARE at
 parity with XLA's conv fusions; the loss is the autodiff boundary.
+
+ROUND-5 CLOSURE: the follow-up ("backward kernels in the same flat
+layout") was built (nn/pallas/conv_flat_bwd.py, parity-locked) and
+measured ISOLATED at the real shapes (benchmarks/dgrad_bench.py):
+Pallas dgrad TIES XLA's input-grad conv at every site and the
+flat-matmul wgrad loses 2-3x to XLA's wgrad convs (84-96% MFU
+in-graph). There is no 1:1 kernel-swap win anywhere in this backward;
+see docs/DESIGN.md §5 for the full record.
 "Residual memory equals XLA's no-remat footprint" was the flaw: each
 wrapper force-saves its input AND output, and XLA's own policy at this
 batch is to remat those chains instead of keeping them — forcing both
