@@ -1012,9 +1012,7 @@ def sec_fcn(out: SectionWriter):
     )(jax.random.PRNGKey(6))
     xf.block_until_ready()
     _retry_compile(lambda: float(infer_f(xf)))
-    t0 = time.perf_counter()
-    float(infer_f(xf))
-    dt = time.perf_counter() - t0
+    dt = min(_measure_once(lambda: float(infer_f(xf))) for _ in range(3))
     xf.delete()
     out["fcn8s_256_infer_images_per_sec"] = round(Kf * Bf / dt, 1)
 
@@ -1051,12 +1049,15 @@ def sec_adversarial(out: SectionWriter):
     st_a, m = atrainer._train_step(st_a, batch)  # steady-state shardings
     float(jax.device_get(m["seg_loss"]))
     n = 8
-    t0 = time.perf_counter()
-    for _ in range(n):
-        st_a, m = atrainer._train_step(st_a, batch)
-    float(jax.device_get(m["seg_loss"]))
-    dt = time.perf_counter() - t0
-    out["unet256_adversarial_train_images_per_sec"] = round(n * Ba / dt, 1)
+    best_dt = 1e9
+    for _ in range(2):  # best-of-2 windows (run-to-run host variance)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            st_a, m = atrainer._train_step(st_a, batch)
+        float(jax.device_get(m["seg_loss"]))
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    out["unet256_adversarial_train_images_per_sec"] = round(
+        n * Ba / best_dt, 1)
 
 
 def sec_mnist(out: SectionWriter):
