@@ -359,23 +359,6 @@ def sec_serving_bf16(out: SectionWriter):
     def note(msg):
         out["unet512_infer_sweep_note"] = msg
 
-    best = 0.0
-    sweep = {}
-    # B=256/384/512 rows keep the bf16-vs-int8 comparison honest (int8
-    # sweeps to 512 and gains from batch; bf16 gets the same chance).
-    # bf16 B=512 fails DETERMINISTICALLY in the AOT compile helper
-    # (subprocess exit 1, rounds 4 and 5, retried with backoff both
-    # times) — B=384 bounds the large-batch bf16 trend instead.
-    for batch in (64, 128, 256, 384, 512):
-        try:
-            ips = _queued_throughput(infer_fn, batch, 0, note)
-            sweep[str(batch)] = round(ips, 1)
-            best = max(best, ips)
-        except Exception as e:  # noqa: BLE001
-            sweep[str(batch)] = f"failed: {type(e).__name__}: {str(e)[:200]}"
-        out["unet512_infer_sweep"] = dict(sweep)
-    out["unet512_infer_bf16_images_per_sec"] = round(best, 1)
-
     # serving latency: single small batch per dispatch (B=8). The
     # host-observed number includes this environment's ~30 ms tunnel
     # dispatch round-trip (no kernel work can remove it), so the
@@ -429,6 +412,31 @@ def sec_serving_bf16(out: SectionWriter):
         round(devs[0], 2), round(devs[-1], 2)
     ]
     out["unet512_dispatch_null_ms"] = round(null * 1e3, 1)
+
+    # Sweep LAST: a large-batch runtime OOM (B=384 hit transient
+    # RESOURCE_EXHAUSTED in round-5 validation) poisons the whole
+    # process, so the latency rows above must already be recorded.
+    # B=256/384/512 rows keep the bf16-vs-int8 comparison honest (int8
+    # sweeps to 768 and gains from batch; bf16 gets the same chance).
+    # bf16 B=512 fails DETERMINISTICALLY in the AOT compile helper
+    # (subprocess exit 1, rounds 4 and 5, retried with backoff both
+    # times) — B=384 bounds the large-batch bf16 trend instead.
+    best = 0.0
+    sweep = {}
+    for batch in (64, 128, 256, 384, 512):
+        try:
+            ips = _queued_throughput(infer_fn, batch, 0, note)
+            sweep[str(batch)] = round(ips, 1)
+            best = max(best, ips)
+        except Exception as e:  # noqa: BLE001
+            sweep[str(batch)] = f"failed: {type(e).__name__}: {str(e)[:200]}"
+            out["unet512_infer_sweep"] = dict(sweep)
+            out["unet512_infer_bf16_images_per_sec"] = round(best, 1)
+            if "RESOURCE_EXHAUSTED" in str(e):
+                break  # backend is poisoned for this process
+        out["unet512_infer_sweep"] = dict(sweep)
+    out["unet512_infer_bf16_images_per_sec"] = round(best, 1)
+
 
 
 def _trained_guard_params(mcfg):
@@ -574,6 +582,9 @@ def sec_serving_int8(out: SectionWriter):
             sweep_q[str(bq)] = round(ips, 1)
         except Exception as e:  # noqa: BLE001
             sweep_q[str(bq)] = f"failed: {type(e).__name__}: {str(e)[:200]}"
+            if "RESOURCE_EXHAUSTED" in str(e):
+                out["unet512_int8_sweep"] = dict(sweep_q)
+                break  # backend poisoned — keep what's measured
         out["unet512_int8_sweep"] = dict(sweep_q)
     out["unet512_int8_images_per_sec"] = round(best_q, 1)
 
